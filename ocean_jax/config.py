@@ -1,0 +1,110 @@
+"""Configuration layer.
+
+Mirrors the reference's two-tier config system (SURVEY §5.6):
+``parameters.json`` holds physics/discretization constants
+(reference ``parameters.json:1-7``, read at ``OCP_dolfin.py:63-69``),
+and per-pipeline experiment knobs (reference ``OCP_dolfin.py:20-48``).
+
+Key semantics preserved:
+* buoy count ``K`` is parsed from the ``ud_experiment`` string
+  (``OCP_dolfin.py:71-73``),
+* the Tikhonov weight is rescaled by buoy count: ``alpha = alpha * K``
+  (``OCP_dolfin.py:76``),
+* the number of ODE time steps is ``int(T / dt)`` while the plotting
+  time grid is ``linspace(t0, T, int(T/dt))`` — spacing T/(N-1), NOT dt
+  (``OCP_dolfin.py:163,212``). Both are reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Optional
+
+
+def load_parameters(path: str = "parameters.json") -> dict:
+    """Load the physics/discretization constants JSON (same keys as the
+    reference: viscosity, t0, T, dt, alpha)."""
+    with open(path, "r") as fh:
+        return json.load(fh)
+
+
+@dataclasses.dataclass
+class OCPConfig:
+    """All knobs of the reference pipelines, with identical semantics.
+
+    Defaults correspond to ``OCP_dolfin.py:20-48`` + ``parameters.json``.
+    """
+
+    # --- physics / discretization (parameters.json) ---
+    viscosity: float = 1.0
+    t0: float = 0.0
+    T: float = 1.0
+    dt: float = 0.005
+    alpha: float = 1e-6          # rescaled by K via alpha_scaled
+
+    # --- experiment setup (top-of-file constants) ---
+    experiment: int = 1
+    ud_experiment: str = "2_buoys"
+    num_steps: int = 50
+    out_dir: str = "results/ocean_jax/OCP/experiments/1/"
+    L_shape: bool = False
+    L_shape_resolution: int = 50
+    unit_square_resolution: int = 32
+    grad_check: bool = False
+    # line search (OCP_dolfin.py:34-43)
+    use_line_search: bool = True
+    tau: float = 0.5
+    c_armijo: float = 1e-4
+    LR_MIN: float = 1e-6
+    LR_MAX: float = 5.0
+    LR: float = 5.0
+    conv_crit: float = 1e-3
+    # warm start / checkpoint (OCP_dolfin.py:46-48)
+    load_q: bool = False
+    load_string: str = ""
+    checkpoints: bool = False
+
+    # --- framework-only knobs (no reference counterpart) ---
+    reference_runs_dir: str = "/root/reference/reference_runs"
+    mesh_diagonal: str = "right"      # dolfin RectangleMesh default
+    newton_rtol: float = 1e-9         # dolfin NewtonSolver defaults
+    newton_atol: float = 1e-10
+    newton_max_iter: int = 50
+    max_line_search_iters: int = 80   # safety bound (reference loops forever)
+    seed: int = 0
+
+    @property
+    def K(self) -> int:
+        """Buoy count parsed from the ud_experiment string
+        (reference ``OCP_dolfin.py:71-73``)."""
+        match = re.search(r"\d+", self.ud_experiment)
+        if match is None:
+            raise ValueError(f"no buoy count in {self.ud_experiment!r}")
+        return int(match.group())
+
+    @property
+    def alpha_scaled(self) -> float:
+        """alpha * K (reference ``OCP_dolfin.py:76``)."""
+        return self.alpha * self.K
+
+    @property
+    def num_time_steps(self) -> int:
+        """int(T / dt) — 200 for the shipped parameters
+        (``OCP_dolfin.py:164``)."""
+        return int(self.T / self.dt)
+
+    def with_parameters(self, params: dict) -> "OCPConfig":
+        """Return a copy updated from a parameters.json dict."""
+        return dataclasses.replace(
+            self,
+            viscosity=params.get("viscosity", self.viscosity),
+            t0=params.get("t0", self.t0),
+            T=params.get("T", self.T),
+            dt=params.get("dt", self.dt),
+            alpha=params.get("alpha", self.alpha),
+        )
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)

@@ -1,0 +1,129 @@
+"""O(1) point-to-cell location on structured triangulations.
+
+TPU-native replacement for dolfin's bounding-box-tree point search used by
+``Function.__call__(point)`` and ``PointSource`` (reference
+``OCP_dolfin.py:211,353-366``, ``old_dolfinx_files/solver_classes/
+ODE_solver.py:105-119``): because the mesh is a structured grid of squares
+each split into two triangles, the owning cell is a closed-form index
+computation — no tree traversal, fully vectorizable under ``vmap``/``jit``.
+
+Also provides the jittable inside-domain predicate that replaces the
+reference's try/except around point evaluation (``OCP_dolfin.py:209-221``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .structured import Mesh2D
+
+_EPS = 1e-12
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Locator:
+    """Device-resident tables for point location on a `Mesh2D`."""
+
+    square_to_cell: jnp.ndarray   # (ny, nx, 2) int32
+    cell_v0: jnp.ndarray          # (nc, 2) first vertex of each cell
+    cell_jinv: jnp.ndarray        # (nc, 2, 2) inverse affine Jacobian
+    origin: Tuple[float, float]
+    spacing: Tuple[float, float]
+    grid_shape: Tuple[int, int]
+    diagonal: str
+    domain: str
+    extent: Tuple[float, float, float, float]
+    lshape_corner: Tuple[float, float]
+
+    def tree_flatten(self):
+        children = (self.square_to_cell, self.cell_v0, self.cell_jinv)
+        aux = (self.origin, self.spacing, self.grid_shape, self.diagonal,
+               self.domain, self.extent, self.lshape_corner)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_mesh(cls, mesh: Mesh2D) -> "Locator":
+        v = mesh.cell_vertices()                       # (nc, 3, 2)
+        jac = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+        jinv = np.linalg.inv(jac)
+        return cls(
+            square_to_cell=jnp.asarray(mesh.square_to_cell, dtype=jnp.int32),
+            cell_v0=jnp.asarray(v[:, 0]),
+            cell_jinv=jnp.asarray(jinv),
+            origin=mesh.origin,
+            spacing=mesh.spacing,
+            grid_shape=mesh.grid_shape,
+            diagonal=mesh.diagonal,
+            domain=mesh.domain,
+            extent=mesh.extent,
+            lshape_corner=mesh.lshape_corner,
+        )
+
+
+def in_domain(loc: Locator, points: jnp.ndarray) -> jnp.ndarray:
+    """Jittable inside-domain predicate (boundary inclusive).
+
+    Replaces the reference's exception-based escape detection
+    (``OCP_dolfin.py:209-221``): dolfin point evaluation fails exactly when
+    the point lies outside the mesh.
+    """
+    x, y = points[..., 0], points[..., 1]
+    xmin, ymin, xmax, ymax = loc.extent
+    ok = ((x >= xmin - _EPS) & (x <= xmax + _EPS)
+          & (y >= ymin - _EPS) & (y <= ymax + _EPS))
+    if loc.domain == "lshape":
+        cx, cy = loc.lshape_corner
+        ok = ok & ((y <= cy + _EPS) | (x >= cx - _EPS))
+    return ok
+
+
+def locate_points(loc: Locator, points: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Locate points in the mesh.
+
+    Returns ``(cell_ids, ref_coords, inside)`` where ``ref_coords`` are the
+    reference-triangle coordinates (ξ, η) inside the owning cell. For points
+    outside the domain, ``cell_ids``/``ref_coords`` are clamped-to-domain
+    values (callers mask with ``inside``).
+    """
+    inside = in_domain(loc, points)
+    x0, y0 = loc.origin
+    hx, hy = loc.spacing
+    nx, ny = loc.grid_shape
+    # clamp to the domain so that index math stays in range for masked lanes
+    xmin, ymin, xmax, ymax = loc.extent
+    px = jnp.clip(points[..., 0], xmin, xmax)
+    py = jnp.clip(points[..., 1], ymin, ymax)
+    if loc.domain == "lshape":
+        # project points in the missing upper-left block down into the lower
+        # rectangle so the located square is always active (result is only
+        # used for lanes that `inside` masks out anyway)
+        cx, cy = loc.lshape_corner
+        in_block = (px < cx) & (py > cy)
+        py = jnp.where(in_block, cy - 0.5 * hy, py)
+
+    fx = (px - x0) / hx
+    fy = (py - y0) / hy
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
+    s = fx - ix
+    t = fy - iy
+    if loc.diagonal == "right":
+        which = (t > s).astype(jnp.int32)       # tri1 is above the v00-v11 diagonal
+    else:
+        which = (s + t > 1.0).astype(jnp.int32)
+    cell = jnp.maximum(loc.square_to_cell[iy, ix, which], 0)
+    # reference coordinates via the cell's inverse affine map
+    d = jnp.stack([px, py], axis=-1) - loc.cell_v0[cell]
+    xi = jnp.einsum("...ij,...j->...i", loc.cell_jinv[cell], d)
+    return cell, xi, inside
