@@ -250,8 +250,14 @@ def dirichlet_pressure_bc(mesh: Mesh2D, space: TaylorHoodSpace,
 
 
 def combine_bcs(*bcs):
-    """Concatenate (dofs, values) pairs. Later BCs win on overlap
-    (dolfin applies BCs in list order; last application overwrites)."""
-    dofs = jnp.concatenate([b[0] for b in bcs])
-    vals = jnp.concatenate([b[1] for b in bcs])
-    return dofs, vals
+    """Merge (dofs, values) pairs with later-BC-wins semantics on shared
+    dofs (dolfin applies BCs in list order; the last ``apply`` overwrites,
+    e.g. corner dofs shared by the no-slip and inflow BCs of the u_d
+    construction pipeline)."""
+    dofs = np.concatenate([np.asarray(b[0]) for b in bcs])
+    vals = np.concatenate([np.asarray(b[1]) for b in bcs])
+    # keep the LAST occurrence of each dof
+    rev_dofs = dofs[::-1]
+    uniq, first_idx = np.unique(rev_dofs, return_index=True)
+    return (jnp.asarray(uniq, dtype=jnp.int32),
+            jnp.asarray(vals[::-1][first_idx]))
