@@ -1,0 +1,56 @@
+"""Adjoint-PDE right-hand side: basis-weighted Dirac point sources.
+
+Replaces the reference's hot loop #3 — K×200×2 sequential
+``dolfin.PointSource(...).apply(b)`` calls per GD iteration
+(``OCP_dolfin.py:353-366``) and the vendored scifem implementation
+(``old_dolfinx_files/solver_classes/point_source.py:91-163``) — with one
+batched gather (point location + P2 basis evaluation) and one scatter-add.
+
+Point-source application IS the transpose of point interpolation; both are
+built from the same basis-evaluation tables (`eval_velocity_basis`), which
+makes the adjoint gradient consistent to machine precision
+(SURVEY §7.3 "PointSource transpose").
+
+Reference semantics reproduced exactly (``OCP_dolfin.py:353-366``):
+  * masked (escaped) buoys are skipped,
+  * for each remaining trajectory point: re-evaluate u at the point;
+    if the point is outside the domain, use u_x = 0 and place the source
+    at the domain center,
+  * source magnitude γ = h ((u_d − u_x) + μ), one scalar source per
+    velocity component.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fem.spaces import TaylorHoodSpace
+from ..fem.interpolate import eval_velocity_basis, eval_velocity
+from ..mesh.locate import in_domain
+
+
+def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
+                     x: jnp.ndarray, mu: jnp.ndarray, u_d: jnp.ndarray,
+                     mask: jnp.ndarray, h: float,
+                     center: jnp.ndarray) -> jnp.ndarray:
+    """Assemble b = Σ_{buoys,k} γ·δ(x_k) into a mixed-space vector.
+
+    u: (n_p2, 2) velocity dofs of the primal solution;
+    x, mu, u_d: (K, nt, 2); mask: (K,) bool.
+    """
+    K, nt, _ = x.shape
+    pts = x.reshape(-1, 2)
+    inside = in_domain(space.locator, pts)
+    u_x, _ = eval_velocity(space, u, pts)
+    u_x = jnp.where(inside[:, None], u_x, 0.0)
+    src_pts = jnp.where(inside[:, None], pts, center)
+
+    gamma = h * ((u_d.reshape(-1, 2) - u_x) + mu.reshape(-1, 2))
+    active = jnp.repeat(~mask, nt)
+    gamma = jnp.where(active[:, None], gamma, 0.0)
+
+    _, dofs, phi, _ = eval_velocity_basis(space, src_pts)   # (M,6),(M,6)
+    vals = phi[:, :, None] * gamma[:, None, :]              # (M, 6, 2)
+    b_vel = jnp.zeros((space.n_p2, 2)).at[dofs].add(vals)
+    return jnp.concatenate([b_vel.reshape(-1),
+                            jnp.zeros(space.n_p1)])

@@ -110,7 +110,8 @@ def apply_bc_vector(r: jnp.ndarray, bc_dofs: jnp.ndarray,
 def ns_residual(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
                 w: jnp.ndarray, f_quad: Optional[jnp.ndarray],
                 nu: float, convection: bool = True,
-                backflow: str = "none") -> jnp.ndarray:
+                backflow: str = "none",
+                boundary_stab: bool = True) -> jnp.ndarray:
     """Global NS residual (without BC application).
 
     f_quad: (nf, nq, 2) control values at Γ₁ quadrature points, or None.
@@ -124,15 +125,16 @@ def ns_residual(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
     if bq is not None:
         fdofs = space.cell_dofs_mixed[bq.cells]
         wf = w[fdofs]
+        bf = backflow if boundary_stab else "off"
         if f_quad is None:
             facet_r = jax.vmap(
                 lambda wl_, ph, nrm, wt: forms.ns_facet_residual(
-                    space, wl_, ph, nrm, wt, None, backflow)
+                    space, wl_, ph, nrm, wt, None, bf)
             )(wf, bq.phi2, bq.normals, bq.weights)
         else:
             facet_r = jax.vmap(
                 lambda wl_, ph, nrm, wt, fq: forms.ns_facet_residual(
-                    space, wl_, ph, nrm, wt, fq, backflow)
+                    space, wl_, ph, nrm, wt, fq, bf)
             )(wf, bq.phi2, bq.normals, bq.weights, f_quad)
         r = r.at[fdofs].add(facet_r)
     return r
@@ -140,7 +142,8 @@ def ns_residual(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
 
 def ns_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
                 w: jnp.ndarray, nu: float, bc_dofs: jnp.ndarray,
-                convection: bool = True, backflow: str = "none") -> Operator:
+                convection: bool = True, backflow: str = "none",
+                boundary_stab: bool = True) -> Operator:
     """Jacobian of the NS residual at w (or the Stokes operator when
     convection=False — then it is w-independent)."""
     wl = w[space.cell_dofs_mixed]
@@ -149,7 +152,7 @@ def ns_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
             space, wl_, ji, dj, nu, convection))
     )(wl, space.cell_jinv, space.cell_detj)
     facet_mats = facet_dofs = None
-    if bq is not None:
+    if bq is not None and boundary_stab:
         fdofs = space.cell_dofs_mixed[bq.cells]
         wf = w[fdofs]
         facet_mats = jax.vmap(

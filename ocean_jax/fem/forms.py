@@ -90,7 +90,11 @@ def ns_facet_residual(space: TaylorHoodSpace, wl: jnp.ndarray,
     u, _ = split_local(wl)
     u_q = jnp.einsum("qa,ai->qi", phi2f, u)                # (nq, 2)
     un = u_q @ normal                                      # (nq,)
-    if backflow == "tanh":
+    if backflow == "off":
+        # no stabilization term: load only (the C5 gradient-check form,
+        # dolfin_implementation.py:63-64)
+        rv = jnp.zeros((6, 2), u_q.dtype)
+    elif backflow == "tanh":
         # gen-1 regularization ψ_δ(u·n) in place of u·n
         # (Navier_stokes_solver.py:123-138)
         d = backflow_delta

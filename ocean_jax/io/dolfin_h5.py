@@ -47,9 +47,17 @@ def read_checkpoint_velocity(path: str, mesh: Mesh2D,
     def key(arr):
         return np.round(arr * 1e10).astype(np.int64)
 
+    if geom.shape[0] != mesh.num_vertices:
+        raise ValueError(
+            f"checkpoint mesh has {geom.shape[0]} vertices but ours has "
+            f"{mesh.num_vertices} — resolutions must match")
     ours = {tuple(k): i for i, k in enumerate(key(mesh.vertices))}
-    theirs_to_ours = np.array([ours[tuple(k)] for k in key(geom)],
-                              dtype=np.int64)
+    try:
+        theirs_to_ours = np.array([ours[tuple(k)] for k in key(geom)],
+                                  dtype=np.int64)
+    except KeyError as e:
+        raise ValueError("checkpoint mesh geometry does not match ours "
+                         f"(vertex {e} not found)") from None
 
     # match dolfin cells to ours via sorted vertex triples
     our_cells_sorted = {tuple(sorted(c)): i for i, c in enumerate(

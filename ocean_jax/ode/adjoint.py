@@ -51,7 +51,10 @@ def solve_adjoint_ode(space: TaylorHoodSpace, grad_u: jnp.ndarray,
                                         - mu_next)
             return (mu_k, g), mu_k
 
-        init = (jnp.zeros(2), jnp.zeros((2, 2)))
+        # derive carry init from the (device-varying) buoy data so the
+        # scan carry types match under shard_map
+        zero_b = x_b[0, 0] * 0.0
+        init = (jnp.zeros(2) + zero_b, jnp.zeros((2, 2)) + zero_b)
         _, mus = jax.lax.scan(step, init,
                               jnp.arange(nt - 2, -1, -1, dtype=jnp.int32))
         mu = jnp.concatenate([mus[::-1], jnp.zeros((1, 2))])   # (nt, 2)

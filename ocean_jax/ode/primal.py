@@ -55,7 +55,10 @@ def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
             u_rec = jnp.where(failed_new, jnp.zeros(2), uv)
             return (newpos, failed_new, kfail), (newpos, u_rec)
 
-        init = (x0_b, jnp.asarray(False), jnp.asarray(nt, dtype=jnp.int32))
+        # derive the carry init from x0_b so it inherits x0_b's device-
+        # varying annotation (required when vmapped inside shard_map)
+        zero_b = (x0_b[0] * 0).astype(jnp.int32)
+        init = (x0_b, zero_b > 0, jnp.int32(nt) + zero_b)
         (pos_end, failed, kfail), (xs, us) = jax.lax.scan(
             step, init, jnp.arange(nt - 1, dtype=jnp.int32))
         x = jnp.concatenate([x0_b[None], xs])                # (nt, 2)

@@ -1,0 +1,360 @@
+"""The coupled OCP system: problem container + jitted stage functions.
+
+This is the TPU-native core of the framework — everything the reference's
+gradient-descent iteration does (``OCP_dolfin.py:309-450``) expressed as
+pure jittable functions over an `OCPProblem` pytree:
+
+    solve_ns        primal Navier–Stokes Newton solve     (:314-325)
+    forward         NS + ∇u projection + primal ODE       (:314-330)
+    cost            J(u_values, f)                         (:258-261)
+    solve_adjoint   adjoint ODE + point sources + adjoint NS (:331-371)
+    reduced_gradient  αf − z on Γ₁                          (:379,388,426)
+    gd_step         one full GD iteration including the Armijo line search
+                    as a lax.while_loop                     (:384-429)
+
+The whole GD iteration compiles to a single XLA program; host↔device
+traffic happens only at checkpoint/plot boundaries (SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import control as ctrl_mod
+from .adjoint import point_source_rhs
+from .config import OCPConfig
+from .control import Control
+from .fem import (assemble, make_space, make_boundary_quad,
+                  dirichlet_velocity_bc)
+from .fem.interpolate import boundary_eval_velocity
+from .fem.spaces import TaylorHoodSpace, BoundaryQuad
+from .mesh import rectangle_mesh, l_shape_mesh, mark_boundary_facets
+from .ode import solve_primal_ode, solve_adjoint_ode
+from .solve import newton_solve, solve_operator, GradProjector
+from .solve.newton import NewtonResult
+
+_EPS = 1e-12
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class OCPProblem:
+    """All device tables + constants of one OCP experiment."""
+
+    space: TaylorHoodSpace
+    bq: BoundaryQuad                 # Γ₁ quadrature (the ds(1) measure)
+    bc_dofs: jnp.ndarray             # homogeneous Dirichlet velocity dofs Γ₂
+    bc_vals: jnp.ndarray
+    projector: GradProjector         # cached P1 mass factorization
+    u_d: jnp.ndarray                 # (K, nt, 2) measurements
+    x0: jnp.ndarray                  # (K, 2) buoy seeds
+    center: jnp.ndarray              # (2,) domain center (escape target)
+    # static constants
+    nu: float
+    alpha: float                     # already rescaled by K (alpha * K)
+    h: float                         # dt
+    nt: int
+
+    def tree_flatten(self):
+        return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
+                 self.projector, self.u_d, self.x0, self.center),
+                (self.nu, self.alpha, self.h, self.nt))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def K(self) -> int:
+        return self.u_d.shape[0]
+
+
+class ForwardState(NamedTuple):
+    w: jnp.ndarray             # mixed NS solution
+    x: jnp.ndarray             # (K, nt, 2) trajectories
+    u_values: jnp.ndarray      # (K, nt, 2)
+    mask: jnp.ndarray          # (K,) escaped buoys
+    newton: NewtonResult
+
+
+# ---------------------------------------------------------------------------
+# problem construction (host-side, one-time)
+# ---------------------------------------------------------------------------
+
+def build_problem(cfg: OCPConfig,
+                  u_d: Optional[np.ndarray] = None,
+                  x0: Optional[np.ndarray] = None) -> OCPProblem:
+    """Build the problem from a config, loading u_d/x0 from
+    ``reference_runs/<ud_experiment>`` unless given (OCP_dolfin.py:162-196).
+    """
+    if cfg.L_shape:
+        mesh = l_shape_mesh(cfg.L_shape_resolution,
+                            diagonal=cfg.mesh_diagonal)
+        center = np.array([1.0, 0.5])        # OCP_dolfin.py:81
+        # Γ₁ = {x=0} ∪ {y=2}  (OCP_dolfin.py:118-121, L-shape branch)
+        gamma1 = lambda x: ((np.abs(x[:, 0]) < _EPS)
+                            | (np.abs(2.0 - x[:, 1]) < _EPS))
+        # Γ₂ = rest (:131-133)
+        gamma2 = lambda x: ((x[:, 0] > _EPS)
+                            & (np.abs(2.0 - x[:, 1]) > _EPS))
+    else:
+        n = cfg.unit_square_resolution
+        mesh = rectangle_mesh((0.0, 0.0), (2.0, 2.0), n, n,
+                              diagonal=cfg.mesh_diagonal)
+        center = np.array([1.0, 1.0])        # OCP_dolfin.py:98
+        gamma1 = lambda x: ((np.abs(x[:, 0]) < _EPS)
+                            | (np.abs(2.0 - x[:, 0]) < _EPS))
+        gamma2 = lambda x: ((x[:, 0] > _EPS)
+                            & (np.abs(2.0 - x[:, 0]) > _EPS))
+
+    space = make_space(mesh)
+    tags = mark_boundary_facets(mesh, gamma1, tag=1)
+    bq = make_boundary_quad(mesh, tags, tag=1)
+    bc_dofs, bc_vals = dirichlet_velocity_bc(mesh, space, gamma2)
+
+    nt = cfg.num_time_steps
+    if u_d is None or x0 is None:
+        if cfg.L_shape:
+            u_d, x0 = lshape_ud(cfg)
+        else:
+            import os
+            base = os.path.join(cfg.reference_runs_dir, cfg.ud_experiment)
+            u_d = np.load(os.path.join(base, "u_d_array.npy"))
+            x0 = np.load(os.path.join(base, "x_0_array.npy"))[:, 0, :]
+
+    return OCPProblem(
+        space=space, bq=bq, bc_dofs=bc_dofs, bc_vals=bc_vals,
+        projector=GradProjector.build(space),
+        u_d=jnp.asarray(u_d), x0=jnp.asarray(x0),
+        center=jnp.asarray(center),
+        nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt)
+
+
+def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic L-shape measurements for 3 buoys (OCP_dolfin.py:168-196).
+    Time grid quirk reproduced: u_d is sampled on linspace(t0, T, nt)
+    whose spacing is T/(nt-1), while the ODE integrates with h=dt."""
+    nt = cfg.num_time_steps
+    t = np.linspace(cfg.t0, cfg.T, nt)
+    ud1 = 0.5 * (np.cos(np.pi * (t - 0.5)) - 1 - np.cos(np.pi))
+    u_d = np.zeros((3, nt, 2))
+    u_d[0, :, 0] = ud1
+    u_d[1, :, 0] = ud1
+    u_d[1, :, 1] = ud1
+    u_d[2, :, 1] = ud1
+    x0 = np.array([[0.5, 0.5], [1.0, 0.5], [1.5, 1.0]])
+    return u_d, x0
+
+
+def initial_control(prob: OCPProblem, case: int = 0) -> Control:
+    """The q₀ presets: case 0 is the OCP default
+    (``OCP_dolfin.py:143-145``), cases 0-3 are the initial-control study
+    (``initial_control_test.py:30-42``), case 4 the limits pipeline's
+    constant (0.1, 0) (``Pipeline_limits.py:123``)."""
+    def tg(x):
+        return np.stack([-np.cos(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1]),
+                         np.sin(np.pi * x[:, 0]) * np.cos(np.pi * x[:, 1])],
+                        axis=1)
+    if case == 0:
+        fn = tg
+    elif case == 1:
+        fn = lambda x: np.zeros((len(x), 2))
+    elif case == 2:
+        fn = lambda x: -tg(x)
+    elif case == 3:
+        fn = lambda x: np.full((len(x), 2), 0.1)
+    elif case == 4:
+        fn = lambda x: np.stack([np.full(len(x), 0.1),
+                                 np.zeros(len(x))], axis=1)
+    else:
+        raise ValueError(f"unknown control case {case}")
+    return ctrl_mod.from_expression(prob.space, prob.bq, fn)
+
+
+def fd_direction(prob: OCPProblem) -> Control:
+    """df = ('0.1', '0.1') (``OCP_dolfin.py:148``)."""
+    return ctrl_mod.constant(prob.space, prob.bq, [0.1, 0.1])
+
+
+# ---------------------------------------------------------------------------
+# jitted stage functions
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
+    """Primal NS Newton solve, from w=0 (``OCP_dolfin.py:314-325``)."""
+    def residual(w):
+        return assemble.ns_residual(prob.space, prob.bq, w, f_quad, prob.nu)
+
+    def operator(w):
+        return assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
+                                    prob.bc_dofs)
+
+    return newton_solve(residual, operator, jnp.zeros(prob.space.ndof),
+                        prob.bc_dofs, prob.bc_vals)
+
+
+@jax.jit
+def forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
+    """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``)."""
+    res = solve_ns(prob, f_quad)
+    u, _ = prob.space.split(res.w)
+    ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
+                           prob.center)
+    return ForwardState(res.w, ode.x, ode.u_values, ode.mask, res)
+
+
+@jax.jit
+def cost(prob: OCPProblem, u_values: jnp.ndarray,
+         f_quad: jnp.ndarray) -> jnp.ndarray:
+    """J = 0.5 Σ_k Σ_t h‖u − u_d‖² + α/2 ∫_{Γ₁}|f|² ds
+    (``OCP_dolfin.py:258-261``; masked buoys still contribute their
+    partial u_values, as in the reference)."""
+    part_a = 0.5 * jnp.sum(
+        prob.h * jnp.sum((u_values - prob.u_d) ** 2, axis=-1))
+    part_b = 0.5 * prob.alpha * jnp.sum(
+        prob.bq.weights * jnp.sum(f_quad ** 2, axis=-1))
+    return part_a + part_b
+
+
+@jax.jit
+def solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+    """∇u projection + adjoint ODE + point-source RHS + adjoint NS solve
+    (``OCP_dolfin.py:328-371``). Returns the mixed adjoint state z."""
+    u, _ = prob.space.split(fwd.w)
+    grad_u = prob.projector.project(prob.space, u)
+    mu = solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
+                           prob.u_d, fwd.mask, prob.h)
+    b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
+                         prob.h, prob.center)
+    op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w, prob.bc_dofs)
+    return solve_operator(op, b, prob.bc_vals)
+
+
+def reduced_gradient(prob: OCPProblem, f: Control,
+                     z: jnp.ndarray) -> Control:
+    """g = αf − z restricted to Γ₁ (``OCP_dolfin.py:379,387,426``)."""
+    zu, _ = prob.space.split(z)
+    z_quad = boundary_eval_velocity(prob.space, prob.bq, zu)
+    return Control(prob.alpha * f.quad - z_quad,
+                   prob.alpha * f.p2 - zu)
+
+
+# ---------------------------------------------------------------------------
+# differentiable NS solve (implicit function theorem)
+# ---------------------------------------------------------------------------
+#
+# A capability beyond the reference: the Newton solve is equipped with a
+# custom VJP (adjoint of the converged state: J(w*)ᵀ λ = w̄, f̄ = Lᵀ λ), so
+# jax.grad of the WHOLE pipeline J(f) — NS + ODE + cost — yields the exact
+# discrete gradient. Used to cross-check the reference's (continuous-then-
+# discretized, hence only consistent) adjoint gradient (SURVEY §7.2 step 5).
+
+def _vjp_matvec_t(op, x):
+    """Exact float64 Aᵀ@x via the element matrices (for refinement)."""
+    y = jnp.zeros(op.n, x.dtype)
+    xm = x.at[op.bc_dofs].set(0.0)   # transpose of identity-row masking
+    y = y.at[op.cell_dofs].add(
+        jnp.einsum("cab,ca->cb", op.cell_mats, xm[op.cell_dofs]))
+    if op.facet_mats is not None:
+        y = y.at[op.facet_dofs].add(
+            jnp.einsum("fab,fa->fb", op.facet_mats, xm[op.facet_dofs]))
+    return y.at[op.bc_dofs].add(x[op.bc_dofs])
+
+
+def make_differentiable_ns_solver(prob: OCPProblem):
+    """Return f_quad → w with a custom VJP (implicit function theorem):
+    J(w*)ᵀ λ = w̄, then f̄ = Lᵀ λ with L the Γ₁ load operator."""
+    from .ops import linalg as _linalg
+
+    @jax.custom_vjp
+    def solve(f_quad):
+        return solve_ns(prob, f_quad).w
+
+    def fwd(f_quad):
+        w = solve_ns(prob, f_quad).w
+        return w, w
+
+    def bwd(w, w_bar):
+        op = assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
+                                  prob.bc_dofs)
+        fac_t = _linalg.factorize(op.dense().T)
+        lam = _linalg.solve_refined(
+            fac_t, lambda x: _vjp_matvec_t(op, x), w_bar, iters=8)
+        lam = lam.at[prob.bc_dofs].set(0.0)
+        lam_u, _ = prob.space.split(lam)
+        dofs = prob.space.cell_dofs_p2[prob.bq.cells]
+        f_bar = jnp.einsum("fq,fqa,fai->fqi", prob.bq.weights, prob.bq.phi2,
+                           lam_u[dofs])
+        return (f_bar,)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+class GDStepResult(NamedTuple):
+    f_new: Control
+    lr: jnp.ndarray
+    J: jnp.ndarray              # J(old u_values, new f)  (:426-429)
+    div_u: jnp.ndarray
+    fwd: ForwardState
+    z: jnp.ndarray
+    grad: Control               # αf − z (pre-update)
+    gradj: jnp.ndarray          # ⟨g, −g⟩_{Γ₁} when line search on
+    inner_iterations: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("use_line_search", "tau", "c_armijo",
+                                   "lr_min", "max_ls_iters"))
+def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
+            use_line_search: bool = True, tau: float = 0.5,
+            c_armijo: float = 1e-4, lr_min: float = 1e-6,
+            max_ls_iters: int = 80) -> GDStepResult:
+    """One full gradient-descent iteration (``OCP_dolfin.py:309-450``),
+    including the Armijo backtracking line search as a lax.while_loop.
+
+    Reference semantics kept: LR is NOT reset between outer iterations
+    (caller passes the running LR back in); the accepted line-search state
+    is discarded (the next outer iteration re-solves); J is recorded with
+    the OLD u_values and the NEW control.
+    """
+    fwd = forward(prob, f.quad)
+    z = solve_adjoint(prob, fwd)
+    g = reduced_gradient(prob, f, z)
+
+    inner0 = jnp.asarray(0)
+    if use_line_search:
+        df = Control(-g.quad, -g.p2)                       # (:387)
+        gradj = ctrl_mod.boundary_inner(prob.bq, g, df)    # (:388)
+        cond_thresh = -c_armijo * gradj                    # (:389)
+        j_old = cost(prob, fwd.u_values, f.quad)           # loop-invariant
+
+        def ls_cond(state):
+            lr_, it = state
+            f_ls = f.quad + lr_ * df.quad
+            res = forward(prob, f_ls)
+            j_new = cost(prob, res.u_values, f_ls)
+            accept = (j_old - j_new) >= lr_ * cond_thresh  # (:413)
+            return (~accept) & (it < max_ls_iters)
+
+        def ls_body(state):
+            lr_, it = state
+            return (jnp.maximum(tau * lr_, lr_min), it + 1)  # (:415)
+
+        lr, inner_ls = jax.lax.while_loop(ls_cond, ls_body, (lr, inner0))
+        inner = inner_ls + 1   # reference counts the accepting iteration
+    else:
+        gradj = jnp.asarray(0.0)
+        inner = inner0
+
+    f_new = f.axpy(-lr, g)                                  # (:426)
+    j_rec = cost(prob, fwd.u_values, f_new.quad)            # (:429)
+    u, _ = prob.space.split(fwd.w)
+    div_u = assemble.divergence_l2(prob.space, u)           # (:430)
+    return GDStepResult(f_new, lr, j_rec, div_u, fwd, z, g, gradj, inner)
