@@ -73,6 +73,7 @@ class OCPConfig:
     newton_atol: float = 1e-10
     newton_max_iter: int = 50
     max_line_search_iters: int = 80   # safety bound (reference loops forever)
+    refine_iters: int = 12            # fp64 refinement sweeps per linear solve
     seed: int = 0
 
     @property

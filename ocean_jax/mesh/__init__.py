@@ -1,4 +1,5 @@
 from .structured import (
+    pipe_mesh,
     Mesh2D,
     rectangle_mesh,
     unit_square_mesh,
@@ -12,6 +13,7 @@ __all__ = [
     "rectangle_mesh",
     "unit_square_mesh",
     "l_shape_mesh",
+    "pipe_mesh",
     "mark_boundary_facets",
     "locate_points",
 ]

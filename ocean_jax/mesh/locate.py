@@ -40,11 +40,12 @@ class Locator:
     domain: str
     extent: Tuple[float, float, float, float]
     lshape_corner: Tuple[float, float]
+    hole: Tuple[float, float, float] = None
 
     def tree_flatten(self):
         children = (self.square_to_cell, self.cell_v0, self.cell_jinv)
         aux = (self.origin, self.spacing, self.grid_shape, self.diagonal,
-               self.domain, self.extent, self.lshape_corner)
+               self.domain, self.extent, self.lshape_corner, self.hole)
         return children, aux
 
     @classmethod
@@ -67,6 +68,7 @@ class Locator:
             domain=mesh.domain,
             extent=mesh.extent,
             lshape_corner=mesh.lshape_corner,
+            hole=mesh.hole,
         )
 
 
@@ -84,6 +86,9 @@ def in_domain(loc: Locator, points: jnp.ndarray) -> jnp.ndarray:
     if loc.domain == "lshape":
         cx, cy = loc.lshape_corner
         ok = ok & ((y <= cy + _EPS) | (x >= cx - _EPS))
+    if loc.hole is not None:
+        hx_, hy_, r = loc.hole
+        ok = ok & (((x - hx_) ** 2 + (y - hy_) ** 2) >= r * r)
     return ok
 
 

@@ -57,9 +57,10 @@ class Mesh2D:
     diagonal: str                        # "right" | "left"
 
     # domain description (for the jittable inside-domain predicate)
-    domain: str                          # "rect" | "lshape"
+    domain: str                          # "rect" | "lshape" | "pipe"
     extent: Tuple[float, float, float, float]   # xmin, ymin, xmax, ymax
     lshape_corner: Tuple[float, float] = (1.0, 1.0)  # inner corner (x, y)
+    hole: Optional[Tuple[float, float, float]] = None  # (cx, cy, r) obstacle
 
     @property
     def num_vertices(self) -> int:
@@ -92,7 +93,13 @@ def _triangulate(active: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     """Build vertices/cells/square_to_cell from an active-square mask.
 
     active: (ny, nx) bool. xs: (nx+1,), ys: (ny+1,) grid lines.
+    Uses the native C++ builder when available (bit-identical numbering);
+    falls back to numpy.
     """
+    from .. import native
+    nat = native.build_triangulation(xs, ys, active, diagonal)
+    if nat is not None:
+        return nat
     ny, nx = active.shape
     # grid vertex ids for vertices referenced by at least one active square
     used = np.zeros((ny + 1, nx + 1), dtype=bool)
@@ -130,8 +137,29 @@ def _triangulate(active: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     return vertices, cells, square_to_cell
 
 
+def _boundary_normals(vertices, cells, bf_vertices, b_cell, b_local):
+    """Outward unit normals of boundary facets (rotated CCW tangents,
+    flipped away from the opposite vertex)."""
+    tang = vertices[bf_vertices[:, 1]] - vertices[bf_vertices[:, 0]]
+    normals = np.stack([tang[:, 1], -tang[:, 0]], axis=1)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    opp = vertices[cells[b_cell, b_local]]
+    mid = 0.5 * (vertices[bf_vertices[:, 0]] + vertices[bf_vertices[:, 1]])
+    flip = np.einsum("ij,ij->i", normals, mid - opp) < 0
+    normals[flip] *= -1.0
+    return normals
+
+
 def _build_topology(vertices: np.ndarray, cells: np.ndarray):
-    """Edges, cell→edge maps, and boundary facets (with owning cells)."""
+    """Edges, cell→edge maps, and boundary facets (with owning cells).
+    Native C++ fast path with numpy fallback (identical numbering)."""
+    from .. import native
+    nat = native.build_topology(cells)
+    if nat is not None:
+        edges, cell_edges, b_cell, b_local, bf_vertices = nat
+        normals = _boundary_normals(vertices, cells, bf_vertices,
+                                    b_cell, b_local)
+        return edges, cell_edges, bf_vertices, b_cell, b_local, normals
     nc = cells.shape[0]
     # local edge i is opposite local vertex i
     e0 = cells[:, [1, 2]]
@@ -170,7 +198,8 @@ def _build_topology(vertices: np.ndarray, cells: np.ndarray):
 
 
 def _finalize(vertices, cells, square_to_cell, origin, spacing, grid_shape,
-              diagonal, domain, extent, lshape_corner=(1.0, 1.0)) -> Mesh2D:
+              diagonal, domain, extent, lshape_corner=(1.0, 1.0),
+              hole=None) -> Mesh2D:
     # enforce CCW orientation
     v = vertices[cells]
     det = ((v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
@@ -194,6 +223,7 @@ def _finalize(vertices, cells, square_to_cell, origin, spacing, grid_shape,
         domain=domain,
         extent=extent,
         lshape_corner=lshape_corner,
+        hole=hole,
     )
 
 
@@ -245,6 +275,65 @@ def l_shape_mesh(resolution: int = 50, diagonal: str = "right") -> Mesh2D:
         extent=(0.0, 0.0, 2.0, 2.0),
         lshape_corner=(1.0, 1.0),
     )
+
+
+PIPE_INLET_MARKER = 0
+PIPE_OUTLET_MARKER = 1
+PIPE_WALL_MARKER = 2
+PIPE_OBSTACLE_MARKER = 3
+
+
+def pipe_mesh(resolution: int = 22, obstacle: bool = False,
+              diagonal: str = "right"):
+    """Pipe domain [0,2]×[0,2] with tagged boundaries and an optional
+    circular obstacle — the capability of gen-1's gmsh pipe meshing
+    (``old_dolfinx_files/mesh_init.py:95-194``): inlet = {x=0} ∪ {x=L}
+    (marker 0), walls = {y=0} ∪ {y=H} (marker 2), obstacle boundary
+    marker 3; obstacle disk at (0.2, 0.2), radius 0.05 (``:97-99``).
+
+    Returns (mesh, facet_tags). ``resolution`` = squares along each axis
+    (gmsh used MeshSizeMax 0.09 ≈ 2/22).
+    """
+    L = H = 2.0
+    c_x = c_y = 0.2
+    r = 0.05
+    n = resolution
+    xs = np.linspace(0.0, L, n + 1)
+    ys = np.linspace(0.0, H, n + 1)
+    cx = 0.5 * (xs[:-1] + xs[1:])[None, :]
+    cy = 0.5 * (ys[:-1] + ys[1:])[:, None]
+    active = np.ones((n, n), dtype=bool)
+    hole = None
+    if obstacle:
+        # remove every square that intersects the disk (distance from the
+        # disk center to the square < r)
+        hx, hy = L / n, H / n
+        dx = np.maximum(np.abs(cx - c_x) - hx / 2, 0.0)
+        dy = np.maximum(np.abs(cy - c_y) - hy / 2, 0.0)
+        active &= (dx ** 2 + dy ** 2) >= r ** 2
+        hole = (c_x, c_y, r)
+    vertices, cells, s2c = _triangulate(active, xs, ys, diagonal)
+    mesh = _finalize(vertices, cells, s2c, origin=(0.0, 0.0),
+                     spacing=(L / n, H / n), grid_shape=(n, n),
+                     diagonal=diagonal, domain="pipe",
+                     extent=(0.0, 0.0, L, H), hole=hole)
+    eps = 1e-12
+    tags = np.full(mesh.bf_vertices.shape[0], -1, dtype=np.int64)
+    tags = mark_boundary_facets(
+        mesh, lambda x: (np.abs(x[:, 1]) < eps)
+        | (np.abs(x[:, 1] - H) < eps), tag=PIPE_WALL_MARKER,
+        base_tags=tags)
+    tags = mark_boundary_facets(
+        mesh, lambda x: (np.abs(x[:, 0]) < eps)
+        | (np.abs(x[:, 0] - L) < eps), tag=PIPE_INLET_MARKER,
+        base_tags=tags)
+    if obstacle:
+        # facets not on the outer rectangle belong to the obstacle
+        mids = mesh.facet_midpoints()
+        interior = ((mids[:, 0] > eps) & (mids[:, 0] < L - eps)
+                    & (mids[:, 1] > eps) & (mids[:, 1] < H - eps))
+        tags[interior] = PIPE_OBSTACLE_MARKER
+    return mesh, tags
 
 
 def mark_boundary_facets(mesh: Mesh2D,

@@ -117,6 +117,12 @@ def _write_final_artifacts(cfg, prob, mesh, result, run_dir):
                            result.last_fwd.w, prob.space)
     checkpoint.save_fields(run_dir.path("paraview", "checkpoint", "up.npz"),
                            result.last_fwd.w, prob.space)
+    # ParaView-readable ASCII XDMF (OCP_dolfin.py:578-582)
+    from ..io import xdmf
+    xdmf.write_velocity_pressure(
+        run_dir.path("paraview", "velocity.xdmf"),
+        run_dir.path("paraview", "pressure.xdmf"),
+        mesh, np.asarray(result.last_fwd.w), prob.space.n_p2)
 
 
 def _desired_trajectories(cfg, prob) -> Optional[np.ndarray]:

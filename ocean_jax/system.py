@@ -60,11 +60,12 @@ class OCPProblem:
     alpha: float                     # already rescaled by K (alpha * K)
     h: float                         # dt
     nt: int
+    refine_iters: int = 12           # fp64 refinement sweeps per solve
 
     def tree_flatten(self):
         return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
                  self.projector, self.u_d, self.x0, self.center),
-                (self.nu, self.alpha, self.h, self.nt))
+                (self.nu, self.alpha, self.h, self.nt, self.refine_iters))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -128,12 +129,19 @@ def build_problem(cfg: OCPConfig,
             u_d = np.load(os.path.join(base, "u_d_array.npy"))
             x0 = np.load(os.path.join(base, "x_0_array.npy"))[:, 0, :]
 
+    u_d = np.asarray(u_d)
+    if u_d.shape[1] != nt:
+        raise ValueError(
+            f"u_d has {u_d.shape[1]} time samples but int(T/dt) = {nt}; "
+            "the measurement data and the (T, dt) config must agree "
+            "(reference_runs data was generated with T=1, dt=0.005)")
     return OCPProblem(
         space=space, bq=bq, bc_dofs=bc_dofs, bc_vals=bc_vals,
         projector=GradProjector.build(space),
         u_d=jnp.asarray(u_d), x0=jnp.asarray(x0),
         center=jnp.asarray(center),
-        nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt)
+        nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
+        refine_iters=getattr(cfg, "refine_iters", 12))
 
 
 def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -234,7 +242,8 @@ def solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
     b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
                          prob.h, prob.center)
     op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w, prob.bc_dofs)
-    return solve_operator(op, b, prob.bc_vals)
+    return solve_operator(op, b, prob.bc_vals,
+                          refine_iters=prob.refine_iters)
 
 
 def reduced_gradient(prob: OCPProblem, f: Control,
