@@ -93,6 +93,11 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
         g = sys_mod.reduced_gradient(prob, f, z)
         _sync((fwd.w, z, g.quad))
         outer_times.append(time.time() - t_outer)
+        if not bool(fwd.newton.converged):
+            # the analog of gen-1's assert(converged)
+            # (Navier_stokes_solver.py:160-161) — report, don't crash
+            print(f"WARNING: Newton did not converge at iteration {i} "
+                  f"(residual {float(fwd.newton.residual_norm):.3e})")
         last_fwd, last_z = fwd, z
         last_u_values = np.asarray(fwd.u_values)
         x_array.append(np.asarray(fwd.x))

@@ -60,7 +60,7 @@ class OCPProblem:
     alpha: float                     # already rescaled by K (alpha * K)
     h: float                         # dt
     nt: int
-    refine_iters: int = 12           # fp64 refinement sweeps per solve
+    refine_iters: int = 6            # fp64 refinement sweeps per solve
 
     def tree_flatten(self):
         return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
@@ -141,7 +141,7 @@ def build_problem(cfg: OCPConfig,
         u_d=jnp.asarray(u_d), x0=jnp.asarray(x0),
         center=jnp.asarray(center),
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
-        refine_iters=getattr(cfg, "refine_iters", 12))
+        refine_iters=cfg.refine_iters)
 
 
 def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:

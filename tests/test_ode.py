@@ -109,3 +109,22 @@ def test_adjoint_ode_matches_reference_loop():
                 (uv[b, k + 1] - ud[b, k + 1]) - mu_ref[b, k + 1])
     assert np.allclose(np.asarray(mu), mu_ref, atol=1e-12)
     assert np.allclose(np.asarray(mu)[1], 0.0)
+
+
+def test_parallel_adjoint_matches_sequential():
+    """The associative-scan adjoint ODE equals the sequential recursion,
+    including the out-of-domain ∇u-reuse quirk and masked buoys."""
+    space = _space()
+    rng = np.random.default_rng(3)
+    K, nt, h = 5, 30, 0.01
+    g = jnp.asarray(rng.standard_normal((space.n_p1, 2, 2)) * 0.3)
+    x = jnp.asarray(0.3 + 1.4 * rng.random((K, nt, 2)))
+    x = x.at[2, 10].set(jnp.array([5.0, 5.0]))   # out-of-domain points
+    x = x.at[2, 11].set(jnp.array([5.0, 5.0]))
+    uv = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    ud = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    mask = jnp.asarray([False, True, False, False, False])
+    mu_seq = solve_adjoint_ode(space, g, x, uv, ud, mask, h, method="scan")
+    mu_par = solve_adjoint_ode(space, g, x, uv, ud, mask, h,
+                               method="parallel")
+    assert float(jnp.abs(mu_seq - mu_par).max()) < 1e-14

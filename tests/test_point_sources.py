@@ -1,0 +1,60 @@
+"""Point-source RHS: binned MXU path equals direct scatter; transpose
+property against interpolation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ocean_jax.mesh import rectangle_mesh
+from ocean_jax.fem import make_space
+from ocean_jax.fem.interpolate import eval_velocity, interpolate_p2
+from ocean_jax.adjoint import point_source_rhs
+from ocean_jax.ops.scatter import binned_segment_sum
+
+
+def test_binned_segment_sum_exact():
+    rng = np.random.default_rng(0)
+    m, s, d = 10000, 57, 12
+    ids = jnp.asarray(rng.integers(0, s, m))
+    vals = jnp.asarray(rng.standard_normal((m, d)))
+    out = binned_segment_sum(ids, vals, s, chunk=1024)
+    ref = np.zeros((s, d))
+    np.add.at(ref, np.asarray(ids), np.asarray(vals))
+    assert np.allclose(np.asarray(out), ref, atol=1e-12)
+
+
+def test_binned_matches_scatter():
+    space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 8, 8))
+    rng = np.random.default_rng(1)
+    K, nt, h = 7, 25, 0.01
+    u = interpolate_p2(space, lambda c: np.stack(
+        [0.1 * c[:, 1], -0.1 * c[:, 0]], axis=1))
+    x = jnp.asarray(0.2 + 1.6 * rng.random((K, nt, 2)))
+    x = x.at[3, 5].set(jnp.array([9.0, 9.0]))   # out-of-domain → center
+    mu = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    u_d = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    mask = jnp.asarray([False] * 6 + [True])
+    center = jnp.asarray([1.0, 1.0])
+    b1 = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                          method="scatter")
+    b2 = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                          method="binned")
+    assert np.allclose(np.asarray(b1), np.asarray(b2), atol=1e-13)
+
+
+def test_point_source_is_interpolation_transpose():
+    """⟨PS(γ at p), w⟩ == γ · w(p): the defining adjoint identity
+    (SURVEY §7.3 "PointSource transpose")."""
+    space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 6, 6))
+    rng = np.random.default_rng(2)
+    w_vel = jnp.asarray(rng.standard_normal((space.n_p2, 2)))
+    pts = jnp.asarray(0.2 + 1.6 * rng.random((1, 4, 2)))
+    gamma = rng.standard_normal((1, 4, 2))
+    # b with u_d = gamma/h, u = 0, mu = 0 → gamma sources exactly
+    b = point_source_rhs(space, jnp.zeros((space.n_p2, 2)), pts,
+                         jnp.zeros((1, 4, 2)), jnp.asarray(gamma),
+                         jnp.asarray([False]), 1.0,
+                         jnp.asarray([1.0, 1.0]))
+    lhs = float(b[: 2 * space.n_p2] @ w_vel.reshape(-1))
+    w_at_p, _ = eval_velocity(space, w_vel, pts)
+    rhs = float(jnp.sum(jnp.asarray(gamma) * w_at_p))
+    assert np.isclose(lhs, rhs, rtol=1e-12)

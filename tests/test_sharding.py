@@ -78,3 +78,22 @@ def test_graft_entry_dryrun():
     # entry() builds the flagship Nx=32 problem — exercised in bench; here
     # run the multichip dry run on the 8-device CPU mesh
     ge.dryrun_multichip(8)
+
+
+def test_sharded_matvec_matches(tiny_problem):
+    """Cell-sharded operator application equals the single-device
+    matrix-free matvec (dof/mesh parallelism, SURVEY §2.3 item 2)."""
+    import numpy as np
+    from ocean_jax.fem import assemble
+    from ocean_jax.parallel.dof_sharding import make_sharded_matvec
+    cfg, prob = tiny_problem
+    w = jnp.zeros(prob.space.ndof)
+    op = assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
+                              prob.bc_dofs)
+    mesh = make_buoy_mesh()     # reuse the 8-device mesh (axis name free)
+    mv = make_sharded_matvec(op, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(prob.space.ndof))
+    y_ref = op.matvec64(x)
+    y = mv(x)
+    assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
