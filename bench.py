@@ -39,6 +39,12 @@ def main():
                          "data", "ud")
     u_d, x0 = ensure_ud(cfg, cache_dir=cache)
     prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    # TPU fast paths (all tested equal to the reference-exact paths):
+    # one LU per Newton solve + corrected steps; sort+exact-prefix
+    # point-source reduction (7x faster than XLA scatter at 2e6 points)
+    import dataclasses
+    prob = dataclasses.replace(prob, newton_reuse_lu=True,
+                               psrc_method="sorted")
     f = sys_mod.initial_control(prob, case=4)
     lr = jnp.asarray(cfg.LR)
 

@@ -44,10 +44,10 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
         (XLA's scatter cost is per-update, not collision-bound),
       * "binned": one-hot MXU contractions per chunk — exact but the
         f64-emulated matmuls cost 2.5 s; useful inside shard_map,
-      * "sorted": sort + prefix-sum segment reduction — 0.16 s (7×),
-        accumulation error ~1e-6 relative (cumsum precision), used by
-        the benchmark path where the adjoint's own consistency floor
-        (~5e-3) dwarfs it.
+      * "sorted": sort + exact-prefix (triangular-matmul cumsum) segment
+        reduction — 0.28 s (4.2×) at full f64 accuracy (measured 1.6e-11
+        absolute on 2·10⁶ standard-normal values); the production fast
+        path (bench.py).
     """
     K, nt, _ = x.shape
     pts = x.reshape(-1, 2)

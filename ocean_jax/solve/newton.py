@@ -41,11 +41,22 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  bc_vals: jnp.ndarray,
                  rtol: float = 1e-9,
                  atol: float = 1e-10,
-                 max_iter: int = 50) -> NewtonResult:
+                 max_iter: int = 50,
+                 reuse_factorization: bool = False,
+                 correction_iters: int = 3) -> NewtonResult:
     """Solve residual(w) = 0 with BC-aware Newton.
 
     residual_fn: raw residual (no BC rows) in float64.
     operator_fn: w → fem.assemble.Operator (the Jacobian with BC rows).
+
+    reuse_factorization=True factorizes only the FIRST Jacobian; later
+    Newton steps solve J_k δ = −r through the stale factors with
+    ``correction_iters`` preconditioned-Richardson sweeps against the
+    exact current-Jacobian matvec (δ ← δ + M⁻¹(−r − J_k δ)). The LU is the
+    dominant per-iteration cost on TPU (~0.2 s vs ~0.05 s assembly at
+    Nx=32), so this trades one factorization for a few cheap matvec/
+    triangular-solve sweeps; the convergence test is unchanged (fp64
+    residual), so accuracy is unaffected — only the step quality.
     """
 
     def bc_residual(w):
@@ -54,22 +65,30 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
     r0 = bc_residual(w0)
     r0norm = jnp.linalg.norm(r0)
+    fac0 = linalg.factorize(operator_fn(w0).dense())
 
     def cond(state):
-        w, r, rnorm, it = state
+        w, r, rnorm, it, fac = state
         not_conv = (rnorm > atol) & (rnorm > rtol * r0norm)
         return not_conv & (it < max_iter)
 
     def body(state):
-        w, r, rnorm, it = state
+        w, r, rnorm, it, fac = state
         op = operator_fn(w)
-        fac = linalg.factorize(op.dense())
-        dw = fac.solve32(-r)
+        if reuse_factorization:
+            dw = fac.solve32(-r)
+            for _ in range(correction_iters):
+                dw = dw + fac.solve32(-(r + op.matvec64(dw)))
+        else:
+            fac = jax.lax.cond(
+                it == 0, lambda: fac,
+                lambda: linalg.factorize(op.dense()))
+            dw = fac.solve32(-r)
         w = w + dw
         r = bc_residual(w)
-        return (w, r, jnp.linalg.norm(r), it + 1)
+        return (w, r, jnp.linalg.norm(r), it + 1, fac)
 
-    w, r, rnorm, it = jax.lax.while_loop(
-        cond, body, (w0, r0, r0norm, jnp.asarray(0)))
+    w, r, rnorm, it, _ = jax.lax.while_loop(
+        cond, body, (w0, r0, r0norm, jnp.asarray(0), fac0))
     converged = (rnorm <= atol) | (rnorm <= rtol * r0norm)
     return NewtonResult(w, it, rnorm, converged)

@@ -61,11 +61,14 @@ class OCPProblem:
     h: float                         # dt
     nt: int
     refine_iters: int = 6            # fp64 refinement sweeps per solve
+    newton_reuse_lu: bool = False    # one LU per Newton solve + corrections
+    psrc_method: str = "scatter"     # point-source reduction strategy
 
     def tree_flatten(self):
         return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
                  self.projector, self.u_d, self.x0, self.center),
-                (self.nu, self.alpha, self.h, self.nt, self.refine_iters))
+                (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
+                 self.newton_reuse_lu, self.psrc_method))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -205,7 +208,8 @@ def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
                                     prob.bc_dofs)
 
     return newton_solve(residual, operator, jnp.zeros(prob.space.ndof),
-                        prob.bc_dofs, prob.bc_vals)
+                        prob.bc_dofs, prob.bc_vals,
+                        reuse_factorization=prob.newton_reuse_lu)
 
 
 @jax.jit
@@ -240,7 +244,7 @@ def solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
     mu = solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
                            prob.u_d, fwd.mask, prob.h)
     b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
-                         prob.h, prob.center)
+                         prob.h, prob.center, method=prob.psrc_method)
     op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w, prob.bc_dofs)
     return solve_operator(op, b, prob.bc_vals,
                           refine_iters=prob.refine_iters)
