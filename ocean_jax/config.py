@@ -74,6 +74,8 @@ class OCPConfig:
     newton_max_iter: int = 50
     max_line_search_iters: int = 80   # safety bound (reference loops forever)
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
+    newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
+    psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
     seed: int = 0
 
     @property

@@ -40,8 +40,13 @@ class PrimalODEResult(NamedTuple):
 
 def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
                      x0: jnp.ndarray, h: float, nt: int,
-                     center: jnp.ndarray) -> PrimalODEResult:
-    """u: (n_p2, 2) velocity dofs; x0: (K, 2) seeds; nt time samples."""
+                     center: jnp.ndarray,
+                     unroll: int = 4) -> PrimalODEResult:
+    """u: (n_p2, 2) velocity dofs; x0: (K, 2) seeds; nt time samples.
+
+    ``unroll`` trades compile time for lower per-step scan overhead (the
+    time loop is inherently sequential; each step's work is small relative
+    to TPU loop overhead at large K)."""
     u_center, _ = eval_velocity(space, u, center)
 
     def one_buoy(x0_b):
@@ -60,7 +65,8 @@ def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
         zero_b = (x0_b[0] * 0).astype(jnp.int32)
         init = (x0_b, zero_b > 0, jnp.int32(nt) + zero_b)
         (pos_end, failed, kfail), (xs, us) = jax.lax.scan(
-            step, init, jnp.arange(nt - 1, dtype=jnp.int32))
+            step, init, jnp.arange(nt - 1, dtype=jnp.int32),
+            unroll=unroll)
         x = jnp.concatenate([x0_b[None], xs])                # (nt, 2)
         u_values = jnp.concatenate([us, jnp.zeros((1, 2))])  # (nt, 2)
 

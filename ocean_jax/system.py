@@ -144,7 +144,9 @@ def build_problem(cfg: OCPConfig,
         u_d=jnp.asarray(u_d), x0=jnp.asarray(x0),
         center=jnp.asarray(center),
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
-        refine_iters=cfg.refine_iters)
+        refine_iters=cfg.refine_iters,
+        newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
+        psrc_method=getattr(cfg, "psrc_method", "scatter"))
 
 
 def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:

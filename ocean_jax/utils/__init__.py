@@ -1,1 +1,3 @@
+from .timing import sync, Timer
 
+__all__ = ["sync", "Timer"]

@@ -1,0 +1,62 @@
+"""End-to-end pipeline smoke tests (small configs, artifact checks)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from ocean_jax.config import OCPConfig
+
+
+def test_lshape_ocp_descends():
+    """The L-shape experiment (OCP_dolfin.py L_shape=True branch):
+    analytic 3-buoy measurements, Γ₁ = {x=0} ∪ {y=2}, Armijo on."""
+    from ocean_jax.pipelines import ocp
+    d = tempfile.mkdtemp()
+    cfg = OCPConfig(L_shape=True, L_shape_resolution=12,
+                    ud_experiment="3_buoys", num_steps=3,
+                    out_dir=d + "/", use_line_search=True, LR=5.0)
+    res, prob = ocp.run(cfg, verbose=False)
+    assert prob.K == 3
+    j = res.j_array
+    assert len(j) == 3 and j[2] < j[0]
+    assert bool(res.last_fwd.newton.converged)
+    assert not bool(res.last_fwd.mask.any())
+    assert os.path.exists(d + "/variables.txt")
+    assert "L-shape" in open(d + "/variables.txt").read()
+
+
+def test_ocp_checkpoint_resume():
+    """checkpoints=True resumes from checkpoints/q.npz
+    (OCP_dolfin.py:48,157-160), continuing from the saved control."""
+    from ocean_jax.pipelines import ocp
+    d = tempfile.mkdtemp()
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment="2_buoys",
+                    num_steps=2, out_dir=d + "/", use_line_search=False,
+                    LR=1.0)
+    res1, prob = ocp.run(cfg, verbose=False)
+    ck = np.load(d + "/checkpoints/q.npz")
+    assert "quad" in ck and int(ck["iteration"]) == 1
+
+    # resume: run 2 more steps from the checkpoint
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, checkpoints=True)
+    res2, _ = ocp.run(cfg2, verbose=False)
+    # the resumed run starts from the final control of run 1, so its
+    # first cost is below run 1's last recorded cost region
+    assert res2.j_array[0] < res1.j_array[0]
+
+
+def test_variables_txt_format():
+    from ocean_jax.io import artifacts
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "variables.txt")
+    artifacts.write_variables(p, 32, "custom_ud", 0.0, 1, 0.005, 1, 6,
+                              5.0, 5.0, 1e-6, 1e-3, 50)
+    text = open(p).read()
+    # the exact keys the reference writes (OCP_dolfin.py:495-507)
+    for key in ("mesh resolution:", "ud type:", "t0:", "T:", "dt:",
+                "viscosity:", "buoy count:", "LR:", "LR_MAX:", "LR_MIN:",
+                "conv. crit.:", "gradient descent steps:"):
+        assert key in text, key
