@@ -57,6 +57,9 @@ def main():
     _ = float(res.J)               # force completion (tunnel-safe sync)
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     times = []
     f_run = f
     for _ in range(iters):
@@ -65,6 +68,8 @@ def main():
         _ = float(res.J)           # host transfer = authoritative sync
         times.append(time.time() - t0)
         f_run = res.f_new
+    if profile_dir:
+        jax.profiler.stop_trace()
     value = float(np.median(times))
     print(json.dumps({
         "metric": "gd_iteration_seconds_10000_buoys",

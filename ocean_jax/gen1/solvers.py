@@ -36,7 +36,6 @@ from ..fem.assemble import Operator, scatter_vector
 from ..fem.spaces import TaylorHoodSpace, BoundaryQuad
 from ..ode import solve_primal_ode
 from ..solve import newton_solve, solve_operator, GradProjector
-from ..solve.projection import GradProjector
 from . import forms as g1
 
 
