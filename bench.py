@@ -17,7 +17,6 @@ solve + control update + cost), identical in content to the reference's
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

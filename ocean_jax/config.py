@@ -20,7 +20,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
-from typing import Optional
 
 
 def load_parameters(path: str = "parameters.json") -> dict:

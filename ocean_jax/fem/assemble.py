@@ -22,8 +22,7 @@ are replaced by identity rows and RHS entries by the BC value
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh.locate import locate_points, in_domain
+from ..mesh.locate import locate_points
 from .spaces import TaylorHoodSpace, BoundaryQuad
-from . import reference as ref
 
 
 def _p2_basis_jnp(xi: jnp.ndarray) -> jnp.ndarray:

@@ -11,8 +11,6 @@ boundary force (``:286-347``), plus batched trajectory evaluation
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -15,8 +15,6 @@ Fixed learning rate from config, no line search.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,8 +23,6 @@ L2 projection — smoother and deterministic.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

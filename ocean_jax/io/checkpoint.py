@@ -18,7 +18,6 @@ documented gap, SURVEY §5.4).
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import numpy as np

@@ -86,7 +86,6 @@ def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
     reuse-previous-∇u-on-failure quirk (``OCP_dolfin.py:242-249``) is
     reproduced with a next-valid-index fill (reverse cummin).
     """
-    from ..mesh.locate import in_domain
     K, nt, _ = x.shape
 
     # batched ∇u at ALL trajectory points in one gather

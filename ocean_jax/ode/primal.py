@@ -22,7 +22,7 @@ u_values[nt-1] = 0 and x[nt-1] = center, with NO mask set.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

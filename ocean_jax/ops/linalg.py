@@ -18,7 +18,7 @@ fp64 LU the reference relies on.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ The final (num_cells × 12) → global-dof scatter touches each cell once.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
-
 from .. import system as sys_mod
 from ..control import Control
 from ..io import artifacts

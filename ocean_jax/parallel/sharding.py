@@ -20,9 +20,7 @@ carry weight 0 everywhere.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +29,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import system as sys_mod
 from ..adjoint.point_sources import point_source_rhs
-from ..control import Control
 from ..fem import assemble
 from ..fem.interpolate import boundary_eval_velocity
 from ..ode import solve_primal_ode, solve_adjoint_ode

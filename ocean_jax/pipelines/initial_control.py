@@ -21,7 +21,6 @@ import dataclasses
 import os
 
 import jax.numpy as jnp
-import numpy as np
 
 from .. import system as sys_mod
 from ..config import OCPConfig

@@ -24,7 +24,7 @@ import numpy as np
 
 from .. import system as sys_mod
 from ..config import OCPConfig
-from ..fem import assemble, make_space
+from ..fem import assemble
 from ..io import artifacts
 from ..mesh import rectangle_mesh
 from ..opt.driver import run_gradient_descent

@@ -12,10 +12,8 @@ format (``:165-193``).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -15,10 +15,8 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
-from .. import control as ctrl_mod
 from .. import system as sys_mod
 from ..config import OCPConfig
 from ..io import artifacts, checkpoint, plots

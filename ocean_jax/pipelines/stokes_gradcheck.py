@@ -14,7 +14,6 @@ repeated ``solve(a == F)`` cannot express.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

@@ -24,14 +24,12 @@ Seed layouts (reconstructed from ``reference_runs/*/x_0_array.npy``):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import OCPConfig
 from ..fem import (make_space, dirichlet_velocity_bc, dirichlet_pressure_bc,
                    combine_bcs, assemble)
 from ..mesh import rectangle_mesh

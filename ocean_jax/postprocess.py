@@ -16,9 +16,8 @@ Equivalents of the reference's ``plotting/`` toolbox (SURVEY §2.1 C13-C16):
 
 from __future__ import annotations
 
-import os
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
