@@ -58,3 +58,27 @@ def test_golden_field_reader_and_norms():
     l2, h1 = assemble.velocity_norms(space, jnp.asarray(u100))
     assert np.isclose(float(l2), 0.2123836772408219, atol=1e-12)
     assert np.isclose(float(h1), 0.6264083902820639, atol=1e-12)
+
+
+def test_warm_start_from_dolfin_q_backup():
+    """load_q capability across implementations: warm-start the OCP from
+    the reference's own q_backup checkpoint (OCP_dolfin.py:151-154) and
+    reproduce the near-optimal cost recorded in its J_array."""
+    import jax.numpy as jnp
+    from ocean_jax.config import OCPConfig
+    from ocean_jax import system as sys_mod
+    from ocean_jax.io.checkpoint import load_dolfin_control
+    from ocean_jax.mesh import rectangle_mesh
+
+    cfg = OCPConfig(unit_square_resolution=32, ud_experiment="6_buoys")
+    prob = sys_mod.build_problem(cfg)
+    mesh = rectangle_mesh((0.0, 0.0), (2.0, 2.0), 32, 32)
+    f = load_dolfin_control(
+        f"{REF}/u_bar_chapter_6.3.3/q_backup/q.h5", mesh, prob.space,
+        prob.bq, name="f")
+    fwd = sys_mod.forward(prob, f.quad)
+    J = float(sys_mod.cost(prob, fwd.u_values, f.quad))
+    # golden J_array records 4.9784e-4 for J(u(f0), f1); loading f1 gives
+    # J(u(f1), f1) — agreement to ~1% is the cross-implementation check
+    assert abs(J - 4.9784e-4) / 4.9784e-4 < 0.02, J
+    assert not bool(fwd.mask.any())
