@@ -1,0 +1,77 @@
+"""Command-line entry points for the pipelines.
+
+The reference's "CLI" is editing the constants block at the top of each
+script (``README.md:13-14``, ``OCP_dolfin.py:20-48``); here every knob is a
+flag with the same name and default:
+
+    python -m ocean_jax.pipelines.ocp --ud-experiment 6_buoys --num-steps 50
+    python -m ocean_jax.pipelines.limits --ud-experiment 10000_buoys
+    python -m ocean_jax.pipelines.initial_control --case 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from .config import OCPConfig
+
+
+def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog=prog, description="ocean_jax pipeline (see OCPConfig)")
+    p.add_argument("--ud-experiment", default=defaults.ud_experiment)
+    p.add_argument("--num-steps", type=int, default=defaults.num_steps)
+    p.add_argument("--out-dir", default=defaults.out_dir)
+    p.add_argument("--l-shape", action="store_true",
+                   default=defaults.L_shape)
+    p.add_argument("--l-shape-resolution", type=int,
+                   default=defaults.L_shape_resolution)
+    p.add_argument("--unit-square-resolution", type=int,
+                   default=defaults.unit_square_resolution)
+    p.add_argument("--viscosity", type=float, default=defaults.viscosity)
+    p.add_argument("--alpha", type=float, default=defaults.alpha)
+    p.add_argument("--dt", type=float, default=defaults.dt)
+    p.add_argument("--T", type=float, default=defaults.T)
+    p.add_argument("--grad-check", action="store_true",
+                   default=defaults.grad_check)
+    p.add_argument("--no-line-search", action="store_true")
+    p.add_argument("--lr", type=float, default=defaults.LR)
+    p.add_argument("--lr-min", type=float, default=defaults.LR_MIN)
+    p.add_argument("--lr-max", type=float, default=defaults.LR_MAX)
+    p.add_argument("--conv-crit", type=float, default=defaults.conv_crit)
+    p.add_argument("--load-q", default="",
+                   help="warm-start control checkpoint (.npz)")
+    p.add_argument("--checkpoints", action="store_true",
+                   default=defaults.checkpoints)
+    p.add_argument("--fast", action="store_true",
+                   help="enable TPU fast paths (LU reuse, sorted psrc)")
+    return p
+
+
+def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
+    return dataclasses.replace(
+        defaults,
+        ud_experiment=args.ud_experiment,
+        num_steps=args.num_steps,
+        out_dir=args.out_dir,
+        L_shape=args.l_shape,
+        L_shape_resolution=args.l_shape_resolution,
+        unit_square_resolution=args.unit_square_resolution,
+        viscosity=args.viscosity,
+        alpha=args.alpha,
+        dt=args.dt,
+        T=args.T,
+        grad_check=args.grad_check,
+        use_line_search=(defaults.use_line_search
+                         and not args.no_line_search),
+        LR=args.lr,
+        LR_MIN=args.lr_min,
+        LR_MAX=args.lr_max,
+        conv_crit=args.conv_crit,
+        load_q=bool(args.load_q),
+        load_string=args.load_q,
+        checkpoints=args.checkpoints,
+        newton_reuse_lu=args.fast,
+        psrc_method="sorted" if args.fast else "scatter",
+    )

@@ -84,4 +84,9 @@ def run_all_cases(cfg: OCPConfig, verbose: bool = False):
 
 
 if __name__ == "__main__":
-    run(OCPConfig(ud_experiment="6_buoys", use_line_search=False))
+    from ..cli import build_parser, config_from_args
+    _defaults = OCPConfig(ud_experiment="6_buoys", use_line_search=False)
+    _p = build_parser("ocean_jax.pipelines.initial_control", _defaults)
+    _p.add_argument("--case", type=int, default=0, choices=range(4))
+    _args = _p.parse_args()
+    run(config_from_args(_args, _defaults), case=_args.case)

@@ -111,4 +111,8 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True):
 
 
 if __name__ == "__main__":
-    run(OCPConfig(ud_experiment="10_buoys", use_line_search=False))
+    from ..cli import build_parser, config_from_args
+    _defaults = OCPConfig(ud_experiment="10_buoys", use_line_search=False)
+    _args = build_parser("ocean_jax.pipelines.limits",
+                         _defaults).parse_args()
+    run(config_from_args(_args, _defaults))

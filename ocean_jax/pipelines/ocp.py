@@ -137,4 +137,7 @@ def _desired_trajectories(cfg, prob) -> Optional[np.ndarray]:
 
 
 if __name__ == "__main__":
-    run(OCPConfig())
+    from ..cli import build_parser, config_from_args
+    _defaults = OCPConfig(use_line_search=True)
+    _args = build_parser("ocean_jax.pipelines.ocp", _defaults).parse_args()
+    run(config_from_args(_args, _defaults))
