@@ -283,6 +283,24 @@ def _vjp_matvec_t(op, x):
     return y.at[op.bc_dofs].add(x[op.bc_dofs])
 
 
+# XLA's TPU blocked LU stages an (N, 128) fp32 panel in scoped VMEM; the
+# default 16 MB limit caps dense solves at ~16k mixed dofs (Nx≈40).
+# Raising the limit unlocks Nx≈48-56 (measured: Nx=48 LU compiles and runs
+# at 64 MB; v5e VMEM is 128 MB physical).
+LARGE_SOLVE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+
+def make_high_resolution_step(prob: OCPProblem, **gd_kwargs):
+    """jitted gd_step with the raised scoped-VMEM limit for dense direct
+    solves beyond ~16k dofs (TPU only; plain jit elsewhere)."""
+    def step(f: Control, lr):
+        return gd_step(prob, f, lr, **gd_kwargs)
+
+    if jax.default_backend() == "cpu":
+        return jax.jit(step)
+    return jax.jit(step, compiler_options=LARGE_SOLVE_COMPILER_OPTIONS)
+
+
 def make_differentiable_ns_solver(prob: OCPProblem):
     """Return f_quad → w with a custom VJP (implicit function theorem):
     J(w*)ᵀ λ = w̄, then f̄ = Lᵀ λ with L the Γ₁ load operator."""
