@@ -75,6 +75,7 @@ class OCPConfig:
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
+    reuse_ls_forward: bool = False    # reuse the accepted Armijo probe's forward state (bit-identical)
     seed: int = 0
 
     @property

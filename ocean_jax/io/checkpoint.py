@@ -42,7 +42,6 @@ def load_control(path: str, space: TaylorHoodSpace, bq: BoundaryQuad
     """Load a control checkpoint. Also accepts a bare P2 field array or a
     dolfin q_backup HDF5 (cross-implementation warm start)."""
     if path.endswith((".h5", ".xdmf")):
-        from .dolfin_h5 import read_checkpoint_velocity
         raise ValueError(
             "dolfin checkpoints need the mesh; use load_dolfin_control")
     with np.load(path) as data:

@@ -64,9 +64,17 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
                          df: Optional[Control] = None,
                          on_iteration: Optional[Callable] = None,
                          grad_check_dir: Optional[str] = None,
+                         reuse_ls_forward: bool = False,
                          verbose: bool = True) -> GDRunResult:
     """Run up to cfg.num_steps GD iterations. ``escape_threshold`` defaults
-    to K/2 (OCP pipeline); the limits pipeline passes 10."""
+    to K/2 (OCP pipeline); the limits pipeline passes 10.
+
+    ``reuse_ls_forward=True``: when the Armijo search accepts a step, the
+    accepted probe's forward state IS the next iteration's forward state
+    (the updated control equals the probed control exactly and the solve
+    is deterministic) — skips one NS+ODE solve per iteration with
+    bit-identical results. Off by default only to keep the reference's
+    per-iteration timing semantics."""
     if escape_threshold is None:
         escape_threshold = prob.K / 2
     if df is None:
@@ -83,12 +91,15 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
     last_fwd = last_z = None
     last_u_values = None
     it_run = 0
+    fwd_next = None
 
     for i in range(cfg.num_steps):
         if verbose:
             print(f"Gradient descent iteration: {i}")
         t_outer = time.time()
-        fwd = sys_mod.forward(prob, f.quad)
+        fwd = (fwd_next if fwd_next is not None
+               else sys_mod.forward(prob, f.quad))
+        fwd_next = None
         z = sys_mod.solve_adjoint(prob, fwd)
         g = sys_mod.reduced_gradient(prob, f, z)
         _sync((fwd.w, z, g.quad))
@@ -126,6 +137,9 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
                 fwd_ls = sys_mod.forward(prob, f_ls_quad)
                 j_new = float(sys_mod.cost(prob, fwd_ls.u_values, f_ls_quad))
                 if j_old - j_new >= lr * cond:
+                    if reuse_ls_forward:
+                        # accepted probe control == updated control exactly
+                        fwd_next = fwd_ls
                     break
                 lr = max(cfg.tau * lr, cfg.LR_MIN)
                 if inner >= cfg.max_line_search_iters:

@@ -44,6 +44,7 @@ def run(cfg: OCPConfig, case: int = 0, write_artifacts: bool = True,
     result = run_gradient_descent(
         cfg, prob, f,
         grad_check_dir=(cfg.out_dir if write_artifacts else None),
+        reuse_ls_forward=getattr(cfg, "reuse_ls_forward", False),
         verbose=verbose)
 
     norm_table = None

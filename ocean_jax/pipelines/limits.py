@@ -79,6 +79,8 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True):
 
     result = run_gradient_descent(cfg, prob, f, escape_threshold=10,
                                   on_iteration=on_iteration,
+                                  reuse_ls_forward=getattr(
+                                      cfg, "reuse_ls_forward", False),
                                   grad_check_dir=(cfg.out_dir if
                                                   write_artifacts else None),
                                   verbose=verbose)

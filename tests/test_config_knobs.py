@@ -28,3 +28,23 @@ def test_fast_path_knobs_equivalent():
     assert np.isclose(float(a.J), float(b.J), rtol=1e-10)
     assert np.allclose(np.asarray(a.f_new.quad), np.asarray(b.f_new.quad),
                        atol=1e-9)
+
+
+def test_reuse_ls_forward_bit_identical():
+    """Reusing the accepted line-search probe's forward state reproduces
+    the reference path bit-for-bit (same control → same deterministic
+    solve), while skipping one NS+ODE solve per iteration."""
+    from ocean_jax.opt.driver import run_gradient_descent
+    rng = np.random.default_rng(1)
+    K = 2
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment="2_buoys",
+                    T=0.05, num_steps=4, use_line_search=True, LR=2.0)
+    seeds = 0.4 + 1.2 * rng.random((K, 2))
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
+    f0 = sys_mod.initial_control(prob, 0)
+    a = run_gradient_descent(cfg, prob, f0, verbose=False)
+    b = run_gradient_descent(cfg, prob, f0, reuse_ls_forward=True,
+                             verbose=False)
+    assert a.j_array == b.j_array
+    assert float(jnp.abs(a.f.quad - b.f.quad).max()) == 0.0
