@@ -79,6 +79,17 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
             dw = fac.solve32(-r)
             for _ in range(correction_iters):
                 dw = dw + fac.solve32(-(r + op.matvec64(dw)))
+            # guard: stale factors stop contracting when the Jacobian has
+            # drifted (e.g. advection-dominated regimes) — refactorize and
+            # take an exact step instead of a diverging corrected one
+            lin_res = jnp.linalg.norm(r + op.matvec64(dw))
+            bad = ~(lin_res < 0.5 * rnorm)     # catches NaN too
+
+            def refact():
+                f2 = linalg.factorize(op.dense())
+                return f2, f2.solve32(-r)
+
+            fac, dw = jax.lax.cond(bad, refact, lambda: (fac, dw))
         else:
             fac = jax.lax.cond(
                 it == 0, lambda: fac,

@@ -97,3 +97,27 @@ def test_sharded_matvec_matches(tiny_problem):
     y_ref = op.matvec64(x)
     y = mv(x)
     assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
+
+
+def test_sharded_fgmres_integration(tiny_problem):
+    """Multi-device Krylov: FGMRES driven by the cell-sharded matvec
+    equals the dense direct solve (the high-resolution multi-chip path)."""
+    import numpy as np
+    from ocean_jax.fem import assemble
+    from ocean_jax.parallel.dof_sharding import make_sharded_matvec
+    from ocean_jax.solve import krylov
+    from ocean_jax.ops import linalg as lin
+    cfg, prob = tiny_problem
+    w0 = jnp.zeros(prob.space.ndof)
+    op = assemble.ns_operator(prob.space, prob.bq, w0, prob.nu,
+                              prob.bc_dofs, convection=False)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(prob.space.ndof))
+    b = assemble.apply_bc_vector(b, prob.bc_dofs, prob.bc_vals)
+    x_direct = lin.solve_refined(lin.factorize(op.dense()), op.matvec64, b)
+    mv = make_sharded_matvec(op, make_buoy_mesh())
+    pm = krylov.pressure_mass_lumped(prob.space, prob.nu)
+    res = krylov.fgmres(mv, b, M=krylov.jacobi_preconditioner(op, pm),
+                        restart=120, max_restarts=10, tol=1e-10)
+    assert bool(res.converged), float(res.residual_norm)
+    assert np.allclose(np.asarray(res.x), np.asarray(x_direct), atol=1e-7)
