@@ -84,3 +84,37 @@ def test_jax_grad_exact_vs_fd(small_problem):
     g = sys_mod.reduced_gradient(prob, f, z)
     gradj = float(ctrl_mod.boundary_inner(prob.bq, g, df))
     assert np.isclose(directional, gradj, rtol=5e-3)
+
+
+def test_jax_grad_correct_in_escape_regime():
+    """Where the reference's adjoint is inconsistent (escaped buoys are
+    dropped from the adjoint but their pre-escape velocities remain in J —
+    OCP_dolfin.py:237,354 vs :258), jax.grad of the actual computational
+    graph still matches FD: the framework computes the correct gradient
+    in regimes where the reference's method cannot."""
+    from ocean_jax.ode import solve_primal_ode
+    cfg = OCPConfig(ud_experiment="10_buoys", unit_square_resolution=12)
+    prob = sys_mod.build_problem(cfg)
+    f = sys_mod.initial_control(prob, case=0)
+    fwd = sys_mod.forward(prob, f.quad)
+    assert int(fwd.mask.sum()) > 0          # escape regime
+    ns = sys_mod.make_differentiable_ns_solver(prob)
+
+    def j_of(fq):
+        w = ns(fq)
+        u, _ = prob.space.split(w)
+        ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
+                               prob.center)
+        return sys_mod.cost(prob, ode.u_values, fq)
+
+    df = sys_mod.fd_direction(prob)
+    directional = float(jnp.sum(jax.grad(j_of)(f.quad) * df.quad))
+    h = 1e-4
+    fd = (float(j_of(f.quad + h * df.quad))
+          - float(j_of(f.quad - h * df.quad))) / (2 * h)
+    assert abs(fd - directional) / abs(fd) < 1e-6
+    # ...while the reference-style adjoint disagrees materially here
+    z = sys_mod.solve_adjoint(prob, fwd)
+    g = sys_mod.reduced_gradient(prob, f, z)
+    gradj_ref = float(ctrl_mod.boundary_inner(prob.bq, g, df))
+    assert abs(gradj_ref - fd) / abs(fd) > 0.1
