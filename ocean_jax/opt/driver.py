@@ -100,6 +100,15 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
         fwd = (fwd_next if fwd_next is not None
                else sys_mod.forward(prob, f.quad))
         fwd_next = None
+        if (prob.newton_reuse_lu
+                and not bool(jnp.isfinite(fwd.newton.residual_norm))):
+            # the LU-reuse fast path diverged (stale factors + drifting
+            # Jacobian): re-solve this state with fresh factorizations
+            if verbose:
+                print("fast-path Newton diverged; re-solving with "
+                      "fresh factorizations")
+            fwd = sys_mod.forward(
+                dataclasses.replace(prob, newton_reuse_lu=False), f.quad)
         z = sys_mod.solve_adjoint(prob, fwd)
         g = sys_mod.reduced_gradient(prob, f, z)
         _sync((fwd.w, z, g.quad))

@@ -76,20 +76,16 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         w, r, rnorm, it, fac = state
         op = operator_fn(w)
         if reuse_factorization:
+            # fac stays loop-invariant: no cond on it in the hot loop (a
+            # loop-variant 364 MB factor buffer costs ~1 s/GD-iter in
+            # copies). Stale-factor corrections can diverge to NaN when
+            # the Jacobian drifts far from J(w0) (advection-dominated
+            # regimes where even exact Newton stalls) — production
+            # drivers detect the non-finite residual and re-solve with
+            # reuse off (ocean_jax.opt.driver).
             dw = fac.solve32(-r)
             for _ in range(correction_iters):
                 dw = dw + fac.solve32(-(r + op.matvec64(dw)))
-            # guard: stale factors stop contracting when the Jacobian has
-            # drifted (e.g. advection-dominated regimes) — refactorize and
-            # take an exact step instead of a diverging corrected one
-            lin_res = jnp.linalg.norm(r + op.matvec64(dw))
-            bad = ~(lin_res < 0.5 * rnorm)     # catches NaN too
-
-            def refact():
-                f2 = linalg.factorize(op.dense())
-                return f2, f2.solve32(-r)
-
-            fac, dw = jax.lax.cond(bad, refact, lambda: (fac, dw))
         else:
             fac = jax.lax.cond(
                 it == 0, lambda: fac,
