@@ -54,6 +54,9 @@ def main():
     # warm-up / compile
     res = one_step(f, lr)
     _ = float(res.J)               # force completion (tunnel-safe sync)
+    assert not bool(res.diverged), (
+        "fast-path GD step diverged (stale-LU Newton); rerun with "
+        "newton_reuse_lu=False")
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
@@ -64,8 +67,10 @@ def main():
     for _ in range(iters):
         t0 = time.time()
         res = one_step(f_run, lr)
-        _ = float(res.J)           # host transfer = authoritative sync
+        j_it = float(res.J)        # host transfer = authoritative sync
         times.append(time.time() - t0)
+        assert np.isfinite(j_it) and not bool(res.diverged), (
+            f"non-finite benchmark iteration (J={j_it})")
         f_run = res.f_new
     if profile_dir:
         jax.profiler.stop_trace()

@@ -3,8 +3,10 @@
 Replaces the reference's three XDMF ``write_checkpoint``/``read_checkpoint``
 mechanisms with ``.npz`` archives:
 
-  1. per-iteration control checkpoint, appended every GD iteration
-     (``OCP_dolfin.py:439-441`` → ``checkpoints/q.npz``),
+  1. per-iteration control checkpoint (``OCP_dolfin.py:439-441``):
+     ``checkpoints/q.npz`` holds the LATEST control (the resume source) and
+     ``checkpoints/q_history.npz`` the full per-iteration time series —
+     matching the reference's ``append=True`` XDMF semantics,
   2. cross-run warm start (``:484-486`` → ``q_backup/q.npz``; ``load_q`` at
      ``:151-154`` loads another experiment's final control),
   3. final field checkpoints for reruns
@@ -18,6 +20,7 @@ documented gap, SURVEY §5.4).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -35,6 +38,33 @@ def save_control(path: str, ctrl: Control, lr: float = None,
     if iteration is not None:
         data["iteration"] = np.asarray(iteration)
     np.savez(path, **data)
+
+
+def append_control_history(path: str, ctrl: Control, lr: float = None,
+                           iteration: int = None) -> int:
+    """Append one iteration's control to a growing ``q_history.npz`` time
+    series (the reference appends every iteration's projected control to
+    one XDMF series with ``append=True``, ``OCP_dolfin.py:439-441``).
+    Returns the new history length."""
+    quad = np.asarray(ctrl.quad)[None]
+    p2 = np.asarray(ctrl.p2)[None]
+    lr_v = np.asarray([np.nan if lr is None else float(lr)])
+    it_v = np.asarray([-1 if iteration is None else int(iteration)])
+    if os.path.exists(path):
+        with np.load(path) as data:
+            quad = np.concatenate([data["quad"], quad])
+            p2 = np.concatenate([data["p2"], p2])
+            lr_v = np.concatenate([data["lr"], lr_v])
+            it_v = np.concatenate([data["iteration"], it_v])
+    np.savez(path, quad=quad, p2=p2, lr=lr_v, iteration=it_v)
+    return len(it_v)
+
+
+def load_control_history(path: str):
+    """Load the per-iteration control series → (quads, p2s, lrs, iters)."""
+    with np.load(path) as data:
+        return (np.asarray(data["quad"]), np.asarray(data["p2"]),
+                np.asarray(data["lr"]), np.asarray(data["iteration"]))
 
 
 def load_control(path: str, space: TaylorHoodSpace, bq: BoundaryQuad

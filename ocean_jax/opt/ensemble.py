@@ -51,23 +51,27 @@ def run_ensemble(prob: "sys_mod.OCPProblem", f0: Control,
                               c_armijo=c_armijo, lr_min=lr_min,
                               max_ls_iters=max_ls_iters)
         escaped = jnp.sum(res.fwd.mask)
-        return (res.f_new.quad, res.f_new.p2, res.lr, res.J, escaped)
+        return (res.f_new.quad, res.f_new.p2, res.lr, res.J, escaped,
+                res.diverged)
 
     vstep = jax.vmap(member_step)
 
     def scan_step(carry, i):
         fq, fp2, lr, j_prev, stopped, stop_at = carry
-        nfq, nfp2, nlr, j, escaped = vstep(fq, fp2, lr)
-        # freeze stopped members (reference exit semantics, member-wise)
-        fq = jnp.where(stopped[:, None, None, None], fq, nfq)
-        fp2 = jnp.where(stopped[:, None, None], fp2, nfp2)
-        lr = jnp.where(stopped, lr, nlr)
-        j_rec = jnp.where(stopped, j_prev, j)
+        nfq, nfp2, nlr, j, escaped, div = vstep(fq, fp2, lr)
+        # freeze stopped members (reference exit semantics, member-wise);
+        # a member whose fast-path Newton diverged (NaN) is frozen at its
+        # PRE-step state so the NaN update never enters the carry
+        frozen = stopped | div
+        fq = jnp.where(frozen[:, None, None, None], fq, nfq)
+        fp2 = jnp.where(frozen[:, None, None], fp2, nfp2)
+        lr = jnp.where(frozen, lr, nlr)
+        j_rec = jnp.where(frozen, j_prev, j)
         conv = (i > 5) & (jnp.abs(j_rec - j_prev) < conv_crit)
         escape = escaped > escape_threshold
-        newly = (~stopped) & (conv | escape)
+        newly = (~stopped) & (conv | escape | div)
         stop_at = jnp.where(newly, i, stop_at)
-        stopped = stopped | conv | escape
+        stopped = stopped | conv | escape | div
         carry = (fq, fp2, lr, j_rec, stopped, stop_at)
         return carry, (j_rec, lr, escaped)
 

@@ -6,9 +6,10 @@ tabulate one-sided and centered FD approximations against the adjoint
 reduced gradient, writing ``grad_J_error_{i}.txt`` and
 ``grad_J_error_centered_{i}.txt``.
 
-Reference semantics kept: the SAME buoy_mask from the enclosing iteration
-is reused for all perturbed solves (the reference passes it in and the
-masked buoys stay parked).
+Probe semantics: the reference threads the enclosing iteration's buoy_mask
+through the perturbed solves, but its primal ODE ignores the incoming mask
+values (every buoy is re-integrated, ``OCP_dolfin.py:201-230``), so pure
+fresh forward solves compute identical probe costs — see ``_j_probe``.
 """
 
 from __future__ import annotations
@@ -20,11 +21,17 @@ from ..control import Control
 from ..io import artifacts
 
 
-def _j_with_mask(prob, f_quad, mask):
-    """Forward solve + cost where pre-masked buoys keep the mask's parked
-    semantics (reference passes the outer iteration's buoy_mask into
-    solve_primal_ode at ``OCP_dolfin.py:275``; a masked buoy re-enters the
-    loop but its mask stays set — with no escapes the paths coincide)."""
+def _j_probe(prob, f_quad):
+    """Forward solve + cost for one FD probe.
+
+    The reference passes the outer iteration's buoy_mask into
+    ``solve_primal_ode`` (``OCP_dolfin.py:275``) but its primal ODE never
+    READS the incoming mask values — every buoy is re-integrated from its
+    seed regardless (``:201-230``) — so a fresh forward solve here computes
+    the identical probe cost. The one reference behavior deliberately NOT
+    reproduced is the aliasing side effect: a buoy that escapes only inside
+    a probe mutates the caller's buoy_mask in place, polluting the outer
+    iteration's line search; our probes are pure."""
     fwd = sys_mod.forward(prob, f_quad)
     return float(sys_mod.cost(prob, fwd.u_values, f_quad))
 
@@ -37,13 +44,13 @@ def grad_test(prob, f: Control, df: Control, j0: float, gradj: float,
     one_rows, cen_rows = [], []
     for k in ks:
         h = 10.0 ** (-k)
-        jp = _j_with_mask(prob, f.quad + h * df.quad, None)
+        jp = _j_probe(prob, f.quad + h * df.quad)
         ga = (jp - j0) / h
         one_rows.append((ga, abs(ga - gradj), h))
     for k in ks:
         h = 10.0 ** (-k)
-        jp = _j_with_mask(prob, f.quad + h * df.quad, None)
-        jm = _j_with_mask(prob, f.quad - h * df.quad, None)
+        jp = _j_probe(prob, f.quad + h * df.quad)
+        jm = _j_probe(prob, f.quad - h * df.quad)
         gc = (jp - jm) / (2 * h)
         cen_rows.append((gc, abs(gradj - gc), h))
     if out_dir is not None:

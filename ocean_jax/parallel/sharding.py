@@ -60,7 +60,7 @@ def make_sharded_step(prob: "sys_mod.OCPProblem", mesh: Mesh,
                       c_armijo: float = 1e-4, lr_min: float = 1e-6,
                       max_ls_iters: int = 40):
     """Build a jitted multi-device GD step: (f_quad, f_p2, lr) →
-    (f_quad', f_p2', lr', J, mask_count).
+    (f_quad', f_p2', lr', J, mask_count, diverged).
 
     The returned callable is the full training step of the flagship model,
     sharded over the buoy axis of ``mesh``.
@@ -146,6 +146,11 @@ def make_sharded_step(prob: "sys_mod.OCPProblem", mesh: Mesh,
         f_p2_new = f_p2 - lr * g_p2
         j_rec = part_a + tracking_cost(u, f_quad_new)
         mask_count = jnp.sum(mask * wts)
-        return f_quad_new, f_p2_new, lr, j_rec, mask_count
+        # the LU-reuse Newton fast path can diverge on stale factors
+        # (solve/newton.py:79-86); surface it so callers can re-solve
+        # with fresh factorizations instead of propagating NaN
+        diverged = ((~jnp.isfinite(res.residual_norm))
+                    | (~jnp.isfinite(j_rec)))
+        return f_quad_new, f_p2_new, lr, j_rec, mask_count, diverged
 
     return step

@@ -55,9 +55,12 @@ def run(cfg: OCPConfig, initial_case: int = 0,
         plots.plot_velocity_field(
             mesh, u_vertex, run_dir.path("flow_fields", f"u_{i}_field.png"),
             title=f"u_{i}_field")
-        # control checkpoint (OCP_dolfin.py:439-441) + LR for resume
+        # control checkpoint (OCP_dolfin.py:439-441) + LR for resume;
+        # q_history.npz is the append=True time-series equivalent
         checkpoint.save_control(run_dir.path("checkpoints", "q.npz"),
                                 f_i, iteration=i)
+        checkpoint.append_control_history(
+            run_dir.path("checkpoints", "q_history.npz"), f_i, iteration=i)
 
     result = run_gradient_descent(
         cfg, prob, f,

@@ -179,7 +179,11 @@ def initial_control(prob: OCPProblem, case: int = 0) -> Control:
     elif case == 1:
         fn = lambda x: np.zeros((len(x), 2))
     elif case == 2:
-        fn = lambda x: -tg(x)
+        # component-swapped Taylor–Green (initial_control_test.py:37-39):
+        # q₀ = (sin πx · cos πy, −cos πx · sin πy)
+        fn = lambda x: np.stack(
+            [np.sin(np.pi * x[:, 0]) * np.cos(np.pi * x[:, 1]),
+             -np.cos(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])], axis=1)
     elif case == 3:
         fn = lambda x: np.full((len(x), 2), 0.1)
     elif case == 4:
@@ -341,6 +345,11 @@ class GDStepResult(NamedTuple):
     grad: Control               # αf − z (pre-update)
     gradj: jnp.ndarray          # ⟨g, −g⟩_{Γ₁} when line search on
     inner_iterations: jnp.ndarray
+    diverged: jnp.ndarray       # non-finite Newton residual or cost — the
+                                # LU-reuse fast path can diverge on stale
+                                # factors (solve/newton.py); callers MUST
+                                # check this and re-solve with
+                                # newton_reuse_lu=False (opt/driver.py does)
 
 
 @partial(jax.jit, static_argnames=("use_line_search", "tau", "c_armijo",
@@ -390,4 +399,6 @@ def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
     j_rec = cost(prob, fwd.u_values, f_new.quad)            # (:429)
     u, _ = prob.space.split(fwd.w)
     div_u = assemble.divergence_l2(prob.space, u)           # (:430)
-    return GDStepResult(f_new, lr, j_rec, div_u, fwd, z, g, gradj, inner)
+    diverged = (~jnp.isfinite(fwd.newton.residual_norm)) | (~jnp.isfinite(j_rec))
+    return GDStepResult(f_new, lr, j_rec, div_u, fwd, z, g, gradj, inner,
+                        diverged)

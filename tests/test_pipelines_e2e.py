@@ -48,6 +48,25 @@ def test_ocp_checkpoint_resume():
     assert res2.j_array[0] < res1.j_array[0]
 
 
+def test_control_history_appended():
+    """checkpoints/q_history.npz grows by one entry per GD iteration
+    (the reference's append=True XDMF series, OCP_dolfin.py:439-441)."""
+    from ocean_jax.pipelines import ocp
+    from ocean_jax.io import checkpoint
+    d = tempfile.mkdtemp()
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment="2_buoys",
+                    num_steps=3, out_dir=d + "/", use_line_search=False,
+                    LR=1.0)
+    res, prob = ocp.run(cfg, verbose=False)
+    quads, p2s, lrs, iters = checkpoint.load_control_history(
+        d + "/checkpoints/q_history.npz")
+    assert len(iters) == res.iterations_run == 3
+    assert list(iters) == [0, 1, 2]
+    latest = np.load(d + "/checkpoints/q.npz")
+    assert np.array_equal(quads[-1], latest["quad"])
+    assert np.array_equal(p2s[-1], latest["p2"])
+
+
 def test_variables_txt_format():
     from ocean_jax.io import artifacts
     d = tempfile.mkdtemp()

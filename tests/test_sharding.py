@@ -34,8 +34,9 @@ def test_sharded_step_matches_single_device(tiny_problem):
     mesh = make_buoy_mesh()
     assert mesh.devices.size == 8
     step = make_sharded_step(prob, mesh, use_line_search=False)
-    fq, fp2, lr2, j, escaped = step(f.quad, f.p2, lr)
+    fq, fp2, lr2, j, escaped, diverged = step(f.quad, f.p2, lr)
 
+    assert not bool(diverged) and not bool(ref.diverged)
     assert np.isclose(float(j), float(ref.J), rtol=1e-12)
     assert np.allclose(np.asarray(fq), np.asarray(ref.f_new.quad),
                        atol=1e-12)
@@ -53,7 +54,7 @@ def test_sharded_line_search_matches(tiny_problem):
     mesh = make_buoy_mesh()
     step = make_sharded_step(prob, mesh, use_line_search=True,
                              max_ls_iters=10)
-    fq, fp2, lr2, j, _ = step(f.quad, f.p2, lr)
+    fq, fp2, lr2, j, _, _ = step(f.quad, f.p2, lr)
     assert np.isclose(float(lr2), float(ref.lr))
     assert np.isclose(float(j), float(ref.J), rtol=1e-12)
     assert np.allclose(np.asarray(fq), np.asarray(ref.f_new.quad),
