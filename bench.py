@@ -13,8 +13,19 @@ The measured step is the FULL outer iteration (primal NS Newton solve +
 ∇u projection + primal/adjoint buoy ODEs + point-source RHS + adjoint NS
 solve + control update + cost), identical in content to the reference's
 "outer loop" timing window (OCP_dolfin.py:313-375).
+
+Extra modes (reproducible versions of the round-1 /tmp profiles):
+  --stages    per-stage breakdown of the K=10⁴ iteration (Newton, primal
+              ODE, ∇u projection, adjoint ODE, point sources, adjoint
+              solve) with achieved-TFLOP/s estimates for the LU stages;
+              writes results/bench_stages/stages.json
+  --multi-k   iteration time at K=100/400/10000 vs the reference's
+              11.98 / 77.82 / 1500 s CPU baselines
+              (plotting/histogram_plotting.py:9-10);
+              writes results/bench_stages/multi_k.json
 """
 
+import argparse
 import json
 import os
 import time
@@ -23,29 +34,155 @@ import numpy as np
 
 BASELINE_SECONDS = 1500.0          # reference CPU, K=10^4 (BASELINE.md)
 K_EXPERIMENT = "10000_buoys"
+# reference CPU seconds per GD iteration by buoy count
+K_BASELINES = {"100_buoys": 11.98, "400_buoys": 77.82,
+               "10000_buoys": 1500.0}
 
 
-def main():
-    import jax
+def _build(k_experiment=K_EXPERIMENT):
+    """The benchmark problem with the TPU fast paths on (all tested equal
+    to the reference-exact paths): one LU per Newton solve + corrected
+    steps; sort+exact-prefix point-source reduction (7x faster than XLA
+    scatter at 2e6 points)."""
+    import dataclasses
     import jax.numpy as jnp
     from ocean_jax.config import OCPConfig
     from ocean_jax import system as sys_mod
     from ocean_jax.pipelines.limits import ensure_ud
 
-    cfg = OCPConfig(ud_experiment=K_EXPERIMENT, unit_square_resolution=32,
+    cfg = OCPConfig(ud_experiment=k_experiment, unit_square_resolution=32,
                     use_line_search=False, num_steps=1)
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "data", "ud")
     u_d, x0 = ensure_ud(cfg, cache_dir=cache)
     prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
-    # TPU fast paths (all tested equal to the reference-exact paths):
-    # one LU per Newton solve + corrected steps; sort+exact-prefix
-    # point-source reduction (7x faster than XLA scatter at 2e6 points)
-    import dataclasses
     prob = dataclasses.replace(prob, newton_reuse_lu=True,
                                psrc_method="sorted")
     f = sys_mod.initial_control(prob, case=4)
-    lr = jnp.asarray(cfg.LR)
+    return cfg, prob, f, jnp.asarray(cfg.LR)
+
+
+def _sync(x):
+    """Force completion: host transfer of one leaf (block_until_ready is
+    unreliable on the tunneled TPU platform)."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf)
+    return x
+
+
+def _timeit(fn, *args, reps=3):
+    _sync(fn(*args))                       # warm-up / compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        _sync(fn(*args))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def stages_main():
+    """Per-stage breakdown of one K=10⁴ GD iteration (reproduces the
+    BACKLOG.md stage table from a committed script)."""
+    import jax
+    import jax.numpy as jnp
+    from ocean_jax import system as sys_mod
+    from ocean_jax.fem import assemble
+    from ocean_jax.ode import solve_primal_ode, solve_adjoint_ode
+    from ocean_jax.adjoint import point_source_rhs
+    from ocean_jax.solve import solve_operator
+
+    cfg, prob, f, lr = _build()
+    fq = f.quad
+    fwd = _sync(sys_mod.forward(prob, fq))
+    u, _ = prob.space.split(fwd.w)
+    grad_u = _sync(prob.projector.project(prob.space, u))
+    mu = _sync(solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
+                                 prob.u_d, fwd.mask, prob.h))
+    b = _sync(point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d,
+                               fwd.mask, prob.h, prob.center,
+                               method=prob.psrc_method))
+
+    s_newton = jax.jit(lambda q: sys_mod.solve_ns(prob, q).w)
+    s_ode = jax.jit(lambda uu: solve_primal_ode(
+        prob.space, uu, prob.x0, prob.h, prob.nt, prob.center).x)
+    s_proj = jax.jit(lambda uu: prob.projector.project(prob.space, uu))
+    s_adjode = jax.jit(lambda gu: solve_adjoint_ode(
+        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+    s_psrc = jax.jit(lambda m: point_source_rhs(
+        prob.space, u, fwd.x, m, prob.u_d, fwd.mask, prob.h, prob.center,
+        method=prob.psrc_method))
+
+    def adj_solve(bb):
+        op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w,
+                                       prob.bc_dofs)
+        return solve_operator(op, bb, prob.bc_vals,
+                              refine_iters=prob.refine_iters)
+    s_adjsolve = jax.jit(adj_solve)
+
+    stages = {
+        "ns_newton_solve": _timeit(s_newton, fq),
+        "primal_ode_scan": _timeit(s_ode, u),
+        "gradu_projection": _timeit(s_proj, u),
+        "adjoint_ode": _timeit(s_adjode, grad_u),
+        "point_sources": _timeit(s_psrc, mu),
+        "adjoint_assemble_solve": _timeit(s_adjsolve, b),
+    }
+    full = _timeit(
+        lambda q: sys_mod.gd_step(prob, f, lr, use_line_search=False).J, fq)
+
+    # achieved-rate estimate for the dominant dense stage: one fp32 LU of
+    # the (ndof × ndof) saddle operator is 2/3·N³ flops (the adjoint solve
+    # does one more)
+    n = prob.space.ndof
+    lu_flops = (2.0 / 3.0) * n ** 3
+    out = {
+        "K": prob.K, "ndof": n, "backend": jax.default_backend(),
+        "stages_seconds": stages,
+        "stages_sum_seconds": float(sum(stages.values())),
+        "full_fused_gd_iteration_seconds": full,
+        "lu_tflops_est": lu_flops / stages["adjoint_assemble_solve"] / 1e12,
+        "note": ("stage sum > fused time: XLA overlaps/fuses stages inside "
+                 "the single gd_step program; lu_tflops_est treats the "
+                 "whole adjoint solve as one fp32 LU (lower bound)"),
+    }
+    os.makedirs("results/bench_stages", exist_ok=True)
+    with open("results/bench_stages/stages.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+def multi_k_main():
+    """Iteration time vs the reference's per-K CPU baselines."""
+    import jax.numpy as jnp
+    from ocean_jax import system as sys_mod
+
+    results = {}
+    for k_exp, base in K_BASELINES.items():
+        cfg, prob, f, lr = _build(k_exp)
+
+        def step(fc):
+            return sys_mod.gd_step(prob, fc, lr, use_line_search=False)
+
+        res = step(f)
+        assert not bool(res.diverged)
+        _sync(res.J)
+        t = _timeit(lambda fc: step(fc).J, f)
+        results[k_exp] = {"seconds": t, "baseline_seconds": base,
+                          "vs_baseline": base / t}
+        print(json.dumps({"metric": f"gd_iteration_seconds_{k_exp}",
+                          "value": t, "unit": "s",
+                          "vs_baseline": base / t}))
+    os.makedirs("results/bench_stages", exist_ok=True)
+    with open("results/bench_stages/multi_k.json", "w") as fh:
+        json.dump(results, fh, indent=2)
+
+
+def main():
+    import jax
+    from ocean_jax import system as sys_mod
+
+    cfg, prob, f, lr = _build()
 
     # one full GD iteration, fused into a single XLA program
     def one_step(f_ctrl, lr_):
@@ -84,4 +221,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--multi-k", action="store_true")
+    args = ap.parse_args()
+    if args.stages:
+        stages_main()
+    elif args.multi_k:
+        multi_k_main()
+    else:
+        main()

@@ -33,7 +33,8 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
                      x: jnp.ndarray, mu: jnp.ndarray, u_d: jnp.ndarray,
                      mask: jnp.ndarray, h: float,
                      center: jnp.ndarray,
-                     method: str = "scatter") -> jnp.ndarray:
+                     method: str = "scatter",
+                     active_t: jnp.ndarray = None) -> jnp.ndarray:
     """Assemble b = Σ_{buoys,k} γ·δ(x_k) into a mixed-space vector.
 
     u: (n_p2, 2) velocity dofs of the primal solution;
@@ -57,7 +58,11 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
     src_pts = jnp.where(inside[:, None], pts, center)
 
     gamma = h * ((u_d.reshape(-1, 2) - u_x) + mu.reshape(-1, 2))
-    active = jnp.repeat(~mask, nt)
+    # default: whole-buoy masking (reference semantics). ``active_t`` is a
+    # per-(buoy, time) override used by the consistent-adjoint mode to
+    # keep escaped buoys' pre-escape sources.
+    active = (jnp.repeat(~mask, nt) if active_t is None
+              else active_t.reshape(-1))
     gamma = jnp.where(active[:, None], gamma, 0.0)
 
     cell, dofs, phi, _ = eval_velocity_basis(space, src_pts)  # (M,6),(M,6)

@@ -74,6 +74,8 @@ class OCPConfig:
     max_line_search_iters: int = 80   # safety bound (reference loops forever)
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
+    linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
+    adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
     reuse_ls_forward: bool = False    # reuse the accepted Armijo probe's forward state (bit-identical)
     seed: int = 0

@@ -73,10 +73,33 @@ def solve_adjoint_ode(space: TaylorHoodSpace, grad_u: jnp.ndarray,
     return jax.vmap(one_buoy)(x, u_values, u_d, mask)
 
 
+def solve_adjoint_ode_consistent(space: TaylorHoodSpace,
+                                 grad_u: jnp.ndarray, x_raw: jnp.ndarray,
+                                 u_values: jnp.ndarray, u_d: jnp.ndarray,
+                                 mask: jnp.ndarray, kfail: jnp.ndarray,
+                                 h: float) -> jnp.ndarray:
+    """Consistent-mode μ: escaped buoys keep their PRE-escape adjoint
+    contributions (a capability beyond the reference, BACKLOG item 0).
+
+    The reference drops escaped buoys from the adjoint entirely
+    (``OCP_dolfin.py:237-238``) even though their pre-escape velocities
+    still enter J — its gradient systematically under-counts in escape
+    regimes (demonstrated 2× off in results/gradcheck_10_buoys/). Here the
+    μ recursion runs over each escaped buoy's valid window t ≤ kfail−1
+    (real positions/velocities) and is zero beyond it; unmasked buoys are
+    bit-identical to the reference recursion."""
+    K, nt, _ = x_raw.shape
+    t = jnp.arange(nt)[None, :]
+    valid = (~mask[:, None]) | (t <= (kfail[:, None] - 1))
+    return _adjoint_ode_parallel(space, grad_u, x_raw, u_values, u_d,
+                                 jnp.zeros_like(mask), h, valid=valid)
+
+
 def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
                           x: jnp.ndarray, u_values: jnp.ndarray,
                           u_d: jnp.ndarray, mask: jnp.ndarray,
-                          h: float) -> jnp.ndarray:
+                          h: float, valid: jnp.ndarray = None
+                          ) -> jnp.ndarray:
     """Parallel-prefix form of the backward μ recursion.
 
     μ[k] = A_k μ[k+1] + b_k,  A_k = I + h ∇u(x[k+1])ᵀ,
@@ -106,6 +129,12 @@ def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
     # (observed OOM at K=10⁴).
     gt = jnp.swapaxes(g_used[:, 1:], -1, -2)               # (K, nt-1, 2, 2) ∇uᵀ
     r = u_values[:, 1:] - u_d[:, 1:]                       # (K, nt-1, 2)
+    if valid is not None:
+        # consistent mode: steps outside a buoy's valid window become the
+        # identity affine map (A=I, b=0), so μ is zero past the window and
+        # exact inside it
+        gt = jnp.where(valid[:, 1:, None, None], gt, 0.0)
+        r = jnp.where(valid[:, 1:, None], r, 0.0)
     a_mat = jnp.eye(2) + h * gt
     b_vec = -h * jnp.einsum("ktij,ktj->kti", gt, r)
 

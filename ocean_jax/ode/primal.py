@@ -36,6 +36,11 @@ class PrimalODEResult(NamedTuple):
     x: jnp.ndarray          # (K, nt, 2) trajectories
     u_values: jnp.ndarray   # (K, nt, 2) velocities along trajectories
     mask: jnp.ndarray       # (K,) bool — escaped buoys (buoy_mask)
+    # pre-overwrite data for the consistent-adjoint mode (the reference
+    # destroys the pre-escape trajectory, OCP_dolfin.py:213-221):
+    x_raw: jnp.ndarray      # (K, nt, 2) positions BEFORE the escape
+                            # overwrite (frozen from the failure step on)
+    kfail: jnp.ndarray      # (K,) int32 first failing step (nt if none)
 
 
 def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
@@ -70,6 +75,8 @@ def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
         x = jnp.concatenate([x0_b[None], xs])                # (nt, 2)
         u_values = jnp.concatenate([us, jnp.zeros((1, 2))])  # (nt, 2)
 
+        x_raw = x                               # pre-overwrite trajectory
+
         # final evaluation at x[nt-1] (OCP_dolfin.py:223-229)
         last_inside = in_domain(space.locator, x[nt - 1])
         u_last, _ = eval_velocity(space, u, x[nt - 1])
@@ -84,7 +91,7 @@ def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
             jnp.where((ks == kfail + 1)[:, None], u_center, 0.0))
         x = jnp.where(failed, jnp.broadcast_to(center, (nt, 2)), x)
         u_values = jnp.where(failed, u_fail, u_values)
-        return x, u_values, failed
+        return x, u_values, failed, x_raw, kfail
 
-    x, u_values, mask = jax.vmap(one_buoy)(x0)
-    return PrimalODEResult(x, u_values, mask)
+    x, u_values, mask, x_raw, kfail = jax.vmap(one_buoy)(x0)
+    return PrimalODEResult(x, u_values, mask, x_raw, kfail)

@@ -40,6 +40,16 @@ def make_buoy_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), ("buoy",))
 
 
+def make_2d_mesh(n_dof: int, n_buoy: int, devices=None) -> Mesh:
+    """2-D device mesh ("dof", "buoy"): dof/cell model parallelism for the
+    saddle solves × buoy data parallelism for the ODE/point-source stages
+    (SURVEY §5.8 — the high-resolution multi-chip layout)."""
+    devices = jax.devices() if devices is None else devices
+    assert len(devices) >= n_dof * n_buoy
+    arr = np.array(devices[: n_dof * n_buoy]).reshape(n_dof, n_buoy)
+    return Mesh(arr, ("dof", "buoy"))
+
+
 def pad_buoys(u_d: jnp.ndarray, x0: jnp.ndarray, n_dev: int,
               center) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pad the buoy axis to a multiple of n_dev. Padded buoys sit at the
@@ -151,6 +161,107 @@ def make_sharded_step(prob: "sys_mod.OCPProblem", mesh: Mesh,
         # with fresh factorizations instead of propagating NaN
         diverged = ((~jnp.isfinite(res.residual_norm))
                     | (~jnp.isfinite(j_rec)))
+        return f_quad_new, f_p2_new, lr, j_rec, mask_count, diverged
+
+    return step
+
+
+def make_sharded_step_2d(prob: "sys_mod.OCPProblem", mesh: Mesh):
+    """Full GD step over a 2-D ("dof", "buoy") mesh: the NS Newton and
+    adjoint saddle solves run FGMRES whose exact fp64 matvec is CELL-
+    sharded over the "dof" axis (psum over ICI — the PETSc-distributed-
+    matvec role of the abandoned MPI generation), composed with buoy-axis
+    data parallelism for the ODE / point-source / cost stages.
+
+    Requires ``prob.linear_solver == "mg"`` — at multi-chip scale the dense
+    LU is already past its cap, so the dof-sharded path IS the two-grid
+    FGMRES path; the (small) two-grid preconditioner stays replicated.
+
+    Returns (f_quad, f_p2, lr) → (f_quad', f_p2', lr', J, mask_count,
+    diverged), line search off (the limits configuration).
+    """
+    from ..solve import mg as mg_mod
+    from .dof_sharding import make_sharded_matvec
+
+    assert prob.linear_solver == "mg" and prob.mg is not None, (
+        "the 2-D sharded step runs the mg linear-solver path")
+    assert mesh.axis_names == ("dof", "buoy")
+    n_buoy_dev = mesh.shape["buoy"]
+    u_d_p, x0_p, wts = pad_buoys(prob.u_d, prob.x0, n_buoy_dev, prob.center)
+
+    def matvec_of(op):
+        return make_sharded_matvec(op, mesh)
+
+    def buoy_forward_shard(u, x0_s, u_d_s, w_s):
+        ode = solve_primal_ode(prob.space, u, x0_s, prob.h, prob.nt,
+                               prob.center)
+        local = 0.5 * jnp.sum(
+            prob.h * jnp.sum((ode.u_values - u_d_s) ** 2, axis=-1)
+            * w_s[:, None])
+        return ode.x, ode.u_values, ode.mask, jax.lax.psum(local, "buoy")
+
+    def buoy_adjoint_shard(u, grad_u, x_s, uv_s, u_d_s, mask_s, w_s):
+        mu = solve_adjoint_ode(prob.space, grad_u, x_s, uv_s, u_d_s,
+                               mask_s, prob.h)
+        mask_eff = mask_s | (w_s == 0)
+        b_local = point_source_rhs(prob.space, u, x_s, mu, u_d_s,
+                                   mask_eff, prob.h, prob.center)
+        return jax.lax.psum(b_local, "buoy")
+
+    fwd_sharded = jax.shard_map(
+        buoy_forward_shard, mesh=mesh,
+        in_specs=(P(), P("buoy"), P("buoy"), P("buoy")),
+        out_specs=(P("buoy"), P("buoy"), P("buoy"), P()))
+    adj_sharded = jax.shard_map(
+        buoy_adjoint_shard, mesh=mesh,
+        in_specs=(P(), P(), P("buoy"), P("buoy"), P("buoy"), P("buoy"),
+                  P("buoy")),
+        out_specs=P())
+
+    @jax.jit
+    def step(f_quad, f_p2, lr):
+        def residual(w):
+            return assemble.ns_residual(prob.space, prob.bq, w, f_quad,
+                                        prob.nu)
+
+        def operator(w):
+            return assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
+                                        prob.bc_dofs)
+
+        def coarse_operator(w):
+            w_c = mg_mod.inject_state(prob.mg, prob.space, w)
+            return assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c,
+                                        w_c, prob.nu, prob.mg.bc_dofs_c)
+
+        res = mg_mod.newton_solve_mg(
+            residual, operator, coarse_operator, prob.mg, prob.space,
+            jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals,
+            matvec_of=matvec_of)
+        u, _ = prob.space.split(res.w)
+        x, uv, mask, part_a = fwd_sharded(u, x0_p, u_d_p, wts)
+        grad_u = prob.projector.project(prob.space, u)
+        b = adj_sharded(u, grad_u, x, uv, u_d_p, mask, wts)
+        op = assemble.adjoint_operator(prob.space, prob.bq, res.w,
+                                       prob.bc_dofs)
+        w_c = mg_mod.inject_state(prob.mg, prob.space, res.w)
+        op_c = assemble.adjoint_operator(prob.mg.space_c, prob.mg.bq_c,
+                                         w_c, prob.mg.bc_dofs_c)
+        adj = mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
+                                       prob.bc_vals, matvec_of=matvec_of)
+        zu, _ = prob.space.split(adj.x)
+        z_quad = boundary_eval_velocity(prob.space, prob.bq, zu)
+        g_quad = prob.alpha * f_quad - z_quad
+        g_p2 = prob.alpha * f_p2 - zu
+
+        f_quad_new = f_quad - lr * g_quad
+        f_p2_new = f_p2 - lr * g_p2
+        part_b = 0.5 * prob.alpha * jnp.sum(
+            prob.bq.weights * jnp.sum(f_quad_new ** 2, axis=-1))
+        j_rec = part_a + part_b
+        mask_count = jnp.sum(mask * wts)
+        diverged = ((~jnp.isfinite(res.residual_norm))
+                    | (~jnp.isfinite(j_rec))
+                    | (~adj.converged))
         return f_quad_new, f_p2_new, lr, j_rec, mask_count, diverged
 
     return step

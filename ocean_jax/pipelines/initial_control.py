@@ -3,16 +3,18 @@
 Runs the square-mesh OCP experiment from four different initial controls
 (``initial_control_test.py:30-42``):
 
-  case 0: Taylor–Green-like  (−cos πx sin πy, sin πx cos πy)
+  case 0: Taylor–Green-like        (−cos πx sin πy, sin πx cos πy)
   case 1: zero
-  case 2: sign-reversed Taylor–Green
+  case 2: component-swapped TG     (sin πx cos πy, −cos πx sin πy)
   case 3: constant (0.1, 0.1)
 
 with line search off by default (``:46``) and, at the end, the
 ‖u − ū‖_{L²/H¹} table vs the stored ū (``:446-457``).
 
-Bonus TPU capability (SURVEY §2.3 item 4): ``run_all_cases`` runs the four
-cases back-to-back reusing one compiled program.
+Bonus TPU capability (SURVEY §2.3 item 4): ``run_all_cases_fused`` runs
+all four cases as ONE vmapped XLA program (``opt.ensemble``) — the serial
+reference must re-run the whole script per case; ``run_all_cases`` is the
+artifact-writing sequential variant (reusing one compiled program).
 """
 
 from __future__ import annotations
@@ -82,6 +84,25 @@ def run_all_cases(cfg: OCPConfig, verbose: bool = False):
             cfg, out_dir=os.path.join(cfg.out_dir, f"case_{case}") + "/")
         out[case] = run(case_cfg, case=case, verbose=verbose)
     return out
+
+
+def run_all_cases_fused(cfg: OCPConfig):
+    """All four initial-control cases as ONE XLA program: a lax.scan over
+    iterations of a 4-member vmapped gd_step (``opt.ensemble``), with
+    member-wise exit freezing. Returns the EnsembleResult (J/LR/escape
+    histories with a leading iteration axis, case axis second)."""
+    from ..opt.ensemble import run_ensemble, stack_controls
+    cfg = dataclasses.replace(cfg, L_shape=False)
+    prob = sys_mod.build_problem(cfg)
+    f0 = stack_controls([sys_mod.initial_control(prob, case=c)
+                         for c in range(4)])
+    lr0 = jnp.full(4, cfg.LR)
+    return run_ensemble(
+        prob, f0, lr0, num_steps=cfg.num_steps,
+        use_line_search=cfg.use_line_search, tau=cfg.tau,
+        c_armijo=cfg.c_armijo, lr_min=cfg.LR_MIN,
+        max_ls_iters=cfg.max_line_search_iters,
+        conv_crit=cfg.conv_crit, escape_threshold=prob.K / 2), prob
 
 
 if __name__ == "__main__":

@@ -103,11 +103,13 @@ def _write_final_artifacts(cfg, prob, mesh, result, run_dir):
                          f"buoy_movement_{k}.png"),
             l_shape=cfg.L_shape)
 
-    # velocity-comparison time series (:554-567)
+    # velocity-comparison time series (:554-567). The reference plots
+    # every buoy; we match that up to K=100 and cap beyond (10⁴ PNGs is
+    # not a useful artifact set — documented deviation)
     time_interval = np.linspace(cfg.t0, cfg.T, prob.nt)
     u_d = np.asarray(prob.u_d)
     uv = result.last_u_values
-    for k in range(min(prob.K, 12)):
+    for k in range(prob.K if prob.K <= 100 else 12):
         plots.plot_velocity_comparison(
             time_interval, u_d, uv, k, run_dir.path(f"ud_plot_buoy_{k}.png"))
 
@@ -128,11 +130,16 @@ def _write_final_artifacts(cfg, prob, mesh, result, run_dir):
 
 
 def _desired_trajectories(cfg, prob) -> Optional[np.ndarray]:
-    """x_d overlays: stored trajectories for square experiments
-    (OCP_dolfin.py:178-181); analytic segments are L-shape-only plot hints
-    (skipped — they are 2-point segments, not trajectories)."""
+    """x_d overlays for the buoy-movement frames: stored trajectories for
+    square experiments (OCP_dolfin.py:178-181); for the L-shape, the
+    analytic 2-point desired-path segments of OCP_dolfin.py:173-174
+    (plotted at :545) — buoy 1 horizontal, buoy 2 diagonal, buoy 3
+    vertical, each of length 1/π (= ∫₀¹ u_d dt)."""
     if cfg.L_shape:
-        return None
+        s = 1.0 / np.pi
+        return np.array([[[0.5, 0.5], [0.5 + s, 0.5]],
+                         [[1.0, 0.5], [1.0 + s, 0.5 + s]],
+                         [[1.5, 1.0], [1.5, 1.0 + s]]])
     base = os.path.join(cfg.reference_runs_dir, cfg.ud_experiment)
     path = os.path.join(base, "x_0_array.npy")
     if os.path.exists(path):

@@ -1,0 +1,306 @@
+"""Geometric two-grid block preconditioning for the saddle-point solves.
+
+The mesh-robust scaling path past dense-LU territory. The reference scales
+``unit_square_resolution`` freely because PETSc's sparse CPU LU does
+(``OCP_dolfin.py:28-30,325,371``); on TPU the blocked dense LU caps at
+~21k mixed dofs (Nx≈48, see ``system.LARGE_SOLVE_COMPILER_OPTIONS``). This
+module removes that cap with a TPU-first design:
+
+  FGMRES on the exact float64 matrix-free mixed operator,
+  right-preconditioned by the Elman–Silvester–Wathen block-triangular
+  preconditioner
+
+      P = [[Â, Bᵀ], [0, Ŝ]],   Ŝ ≈ pressure Schur complement,
+
+  where Ŝ is the ν-scaled lumped pressure mass (the classical Stokes
+  approximation, mesh-independent) and Â⁻¹ is ONE geometric two-grid
+  V-cycle on the P2 velocity block: damped-Jacobi smoothing on the fine
+  grid, exact coarse solve through the MXU-friendly fp32 dense LU on the
+  half-resolution mesh — which is back inside dense-LU territory, so the
+  hierarchy never needs more than one level (Nx=128 → coarse Nx=64 still
+  factorizes with the raised scoped-VMEM limit).
+
+Transfers are generic FE interpolation between any two meshes of the same
+domain (built once, host-side, through the O(1) structured-grid locator),
+so the coarse grid does not need to be nested — odd resolutions and the
+L-shape staircase coarsen fine.
+
+Everything on the device path is jit-compatible: the V-cycle is unrolled
+Jacobi sweeps + one ``solve32`` + two static gather/scatter transfers, and
+the Newton loop is the same ``lax.while_loop`` shape as ``newton_solve``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assemble import Operator, apply_bc_vector
+from ..fem.spaces import TaylorHoodSpace, BoundaryQuad
+from ..mesh.locate import locate_points
+from ..fem import reference as ref
+from ..ops import linalg
+from . import krylov
+from .newton import NewtonResult
+
+
+# ---------------------------------------------------------------------------
+# velocity sub-block of a mixed operator
+# ---------------------------------------------------------------------------
+
+def velocity_block(op: Operator, n_vel: int) -> Operator:
+    """The (2·n_p2 × 2·n_p2) velocity block of a mixed operator, as an
+    `Operator` (local velocity dofs are columns 0..11 of the mixed element
+    matrices; Dirichlet dofs are velocity dofs already)."""
+    facet_mats = facet_dofs = None
+    if op.facet_mats is not None:
+        facet_mats = op.facet_mats[:, :12, :12]
+        facet_dofs = op.facet_dofs[:, :12]
+    return Operator(op.cell_mats[:, :12, :12], op.cell_dofs[:, :12],
+                    facet_mats, facet_dofs, op.bc_dofs, n_vel)
+
+
+# ---------------------------------------------------------------------------
+# inter-mesh interpolation tables (host-side, one-time)
+# ---------------------------------------------------------------------------
+
+def _clamp_to_domain(loc, points: np.ndarray) -> np.ndarray:
+    """Snap points onto the analytic domain of ``loc`` — staircase meshes
+    (e.g. the L-shape at resolutions where the inner corner is not a grid
+    line) carry boundary dofs up to one cell outside the other grid's
+    analytic domain; snapping moves them ≤ one mesh width, an O(h)
+    perturbation of a few near-boundary transfer rows only."""
+    xmin, ymin, xmax, ymax = loc.extent
+    p = np.clip(np.asarray(points, dtype=np.float64),
+                [xmin, ymin], [xmax, ymax])
+    if loc.domain == "lshape":
+        cx, cy = loc.lshape_corner
+        notch = (p[:, 0] < cx) & (p[:, 1] > cy)
+        p[notch, 1] = cy
+    return p
+
+
+def _p2_interpolation_table(space_src: TaylorHoodSpace, points: np.ndarray):
+    """Tables (dofs (n,6), weights (n,6)) such that a P2 field's value at
+    ``points[i]`` is ``Σ_a w[i,a]·u[dofs[i,a]]`` (exact for P2 fields)."""
+    points = _clamp_to_domain(space_src.locator, points)
+    cell, xi, inside = locate_points(space_src.locator, jnp.asarray(points))
+    assert bool(jnp.all(inside)), "interpolation point outside source mesh"
+    w = ref.p2_basis(np.asarray(xi))
+    dofs = np.asarray(space_src.cell_dofs_p2)[np.asarray(cell)]
+    return (jnp.asarray(dofs, dtype=jnp.int32), jnp.asarray(w))
+
+
+def _interp(dofs: jnp.ndarray, w: jnp.ndarray, vals: jnp.ndarray
+            ) -> jnp.ndarray:
+    """Apply an interpolation table: (n_src, k…) → (n_dst, k…)."""
+    return jnp.einsum("ia,ia...->i...", w, vals[dofs])
+
+
+def _interp_t(dofs: jnp.ndarray, w: jnp.ndarray, vals: jnp.ndarray,
+              n_out: int) -> jnp.ndarray:
+    """Transpose (scatter-add) application: restriction of dual vectors."""
+    out = jnp.zeros((n_out,) + vals.shape[1:], vals.dtype)
+    return out.at[dofs].add(jnp.einsum("ia,i...->ia...", w, vals))
+
+
+# ---------------------------------------------------------------------------
+# two-grid context
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class MGContext:
+    """Everything the two-grid preconditioner needs besides the fine
+    operator: the coarse problem tables and the transfer tables."""
+
+    space_c: TaylorHoodSpace
+    bq_c: Optional[BoundaryQuad]
+    bc_dofs_c: jnp.ndarray
+    # prolongation: coarse P2 → fine P2 (per scalar dof)
+    pro_dofs: jnp.ndarray          # (n_f2, 6) coarse scalar P2 dofs
+    pro_w: jnp.ndarray             # (n_f2, 6)
+    # state injection: fine P2 → coarse P2 (for assembling the coarse
+    # operator at the current Newton state)
+    inj_dofs: jnp.ndarray          # (n_c2, 6) fine scalar P2 dofs
+    inj_w: jnp.ndarray             # (n_c2, 6)
+    pm_inv: jnp.ndarray            # (n_f1,) Ŝ⁻¹ = ν / lumped pressure mass
+    nu: float
+
+    def tree_flatten(self):
+        return ((self.space_c, self.bq_c, self.bc_dofs_c, self.pro_dofs,
+                 self.pro_w, self.inj_dofs, self.inj_w, self.pm_inv),
+                (self.nu,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
+                     bq_c: Optional[BoundaryQuad], bc_dofs_c: jnp.ndarray,
+                     nu: float) -> MGContext:
+    """Build the transfer tables between an existing fine and coarse space
+    (both over the same domain; the coarse mesh need not be nested)."""
+    pro_dofs, pro_w = _p2_interpolation_table(
+        space_c, np.asarray(space_f.dof_coords_p2))
+    inj_dofs, inj_w = _p2_interpolation_table(
+        space_f, np.asarray(space_c.dof_coords_p2))
+    pm = krylov.pressure_mass_lumped(space_f, nu)
+    return MGContext(space_c=space_c, bq_c=bq_c, bc_dofs_c=bc_dofs_c,
+                     pro_dofs=pro_dofs, pro_w=pro_w,
+                     inj_dofs=inj_dofs, inj_w=inj_w,
+                     pm_inv=1.0 / pm, nu=nu)
+
+
+def inject_state(mg: MGContext, space_f: TaylorHoodSpace,
+                 w_f: jnp.ndarray) -> jnp.ndarray:
+    """Sample a fine mixed state's velocity at the coarse P2 dof coordinates
+    → a coarse mixed state (pressure 0; only the velocity enters the
+    convection terms of the Jacobian)."""
+    u_f, _ = space_f.split(w_f)
+    u_c = _interp(mg.inj_dofs, mg.inj_w, u_f)           # (n_c2, 2)
+    return mg.space_c.join(u_c, jnp.zeros(mg.space_c.n_p1))
+
+
+# ---------------------------------------------------------------------------
+# the preconditioner
+# ---------------------------------------------------------------------------
+
+def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
+                              op_mixed: Operator, op_mixed_c: Operator,
+                              omega: float = 0.6, pre: int = 2,
+                              post: int = 2
+                              ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build M ≈ P⁻¹ from a (possibly frozen) fine mixed operator and the
+    matching coarse mixed operator.
+
+      M(r): p = −Ŝ⁻¹ r_p;  u = V-cycle_Â(r_u − Bᵀp);  return (u, p)
+
+    The V-cycle smooths with damped Jacobi on the fine velocity block and
+    solves the coarse velocity block exactly (fp32 dense LU)."""
+    n_vel = 2 * space_f.n_p2
+    vel_f = velocity_block(op_mixed, n_vel)
+    d = krylov.operator_diagonal(vel_f)
+    dinv = omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+
+    vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
+    fac_c = linalg.factorize(vel_c.dense())
+
+    bc_f = op_mixed.bc_dofs
+    bc_c = mg.bc_dofs_c
+
+    def vcycle(r):                                    # r: (n_vel,)
+        e = dinv * r
+        for _ in range(pre - 1):
+            e = e + dinv * (r - vel_f.matvec64(e))
+        # coarse correction (transfers act on (n_p2, 2) velocity fields)
+        res = (r - vel_f.matvec64(e)).reshape(-1, 2)
+        rc = _interp_t(mg.pro_dofs, mg.pro_w, res,
+                       mg.space_c.n_p2).reshape(-1)
+        rc = rc.at[bc_c].set(0.0)
+        ec = fac_c.solve32(rc)
+        ef = _interp(mg.pro_dofs, mg.pro_w, ec.reshape(-1, 2)).reshape(-1)
+        ef = ef.at[bc_f].set(0.0)
+        e = e + ef
+        for _ in range(post):
+            e = e + dinv * (r - vel_f.matvec64(e))
+        return e
+
+    def M(r):
+        ru, rp = r[:n_vel], r[n_vel:]
+        p = -mg.pm_inv * rp
+        # Bᵀp through the mixed matvec of (0, p): the gradient block is
+        # state-independent, so the frozen operator is exact here
+        btp = op_mixed.matvec64(
+            jnp.concatenate([jnp.zeros(n_vel), p]))[:n_vel]
+        u = vcycle(ru - btp)
+        return jnp.concatenate([u, p])
+
+    return M
+
+
+# ---------------------------------------------------------------------------
+# solves
+# ---------------------------------------------------------------------------
+
+class MGSolveResult(NamedTuple):
+    x: jnp.ndarray
+    residual_norm: jnp.ndarray
+    iterations: jnp.ndarray        # FGMRES restart cycles
+    converged: jnp.ndarray
+
+
+def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
+                      space_f: TaylorHoodSpace, b: jnp.ndarray,
+                      bc_vals: jnp.ndarray, tol: float = 1e-11,
+                      restart: int = 60, max_restarts: int = 25,
+                      matvec_of: Callable = None) -> MGSolveResult:
+    """Mesh-robust replacement for the dense ``solve_operator`` (adjoint NS
+    solve, ``OCP_dolfin.py:371``): FGMRES + two-grid block preconditioner.
+    ``op_c`` must be the coarse assembly of the SAME bilinear form.
+    ``matvec_of`` (op → matvec) lets multi-chip callers swap in a
+    dof-sharded operator application (parallel/dof_sharding.py)."""
+    b = apply_bc_vector(b, op.bc_dofs, bc_vals)
+    M = make_block_preconditioner(mg, space_f, op, op_c)
+    mv = op.matvec64 if matvec_of is None else matvec_of(op)
+    res = krylov.fgmres(mv, b, M=M, restart=restart,
+                        max_restarts=max_restarts, tol=tol)
+    return MGSolveResult(res.x, res.residual_norm, res.iterations,
+                         res.converged)
+
+
+def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                    operator_fn: Callable[[jnp.ndarray], Operator],
+                    coarse_operator_fn: Callable[[jnp.ndarray], Operator],
+                    mg: MGContext, space_f: TaylorHoodSpace,
+                    w0: jnp.ndarray, bc_dofs: jnp.ndarray,
+                    bc_vals: jnp.ndarray,
+                    rtol: float = 1e-9, atol: float = 1e-10,
+                    max_iter: int = 50, step_tol: float = 1e-8,
+                    restart: int = 60, max_restarts: int = 12,
+                    matvec_of: Callable = None) -> NewtonResult:
+    """BC-aware Newton with FGMRES linear steps (same convergence criteria
+    as ``newton_solve``; drop-in past the dense-LU resolution cap).
+
+    The block preconditioner is built ONCE at w0 (for the standard w0 = 0,
+    a Stokes preconditioner) and reused for every Newton step — staleness
+    only costs Krylov iterations, never accuracy, since each step's matvec
+    is the exact current Jacobian and the convergence test is the exact
+    fp64 residual (mirrors the ``reuse_factorization`` trade of
+    ``solve/newton.py`` without its divergence risk)."""
+
+    def bc_residual(w):
+        r = residual_fn(w)
+        return r.at[bc_dofs].set(w[bc_dofs] - bc_vals)
+
+    op0 = operator_fn(w0)
+    op0_c = coarse_operator_fn(w0)
+    M = make_block_preconditioner(mg, space_f, op0, op0_c)
+
+    r0 = bc_residual(w0)
+    r0norm = jnp.linalg.norm(r0)
+
+    def cond(state):
+        w, r, rnorm, it = state
+        not_conv = (rnorm > atol) & (rnorm > rtol * r0norm)
+        return not_conv & (it < max_iter)
+
+    def body(state):
+        w, r, rnorm, it = state
+        op = operator_fn(w)
+        mv = op.matvec64 if matvec_of is None else matvec_of(op)
+        sol = krylov.fgmres(mv, -r, M=M, restart=restart,
+                            max_restarts=max_restarts, tol=step_tol)
+        w = w + sol.x
+        r = bc_residual(w)
+        return (w, r, jnp.linalg.norm(r), it + 1)
+
+    w, r, rnorm, it = jax.lax.while_loop(
+        cond, body, (w0, r0, r0norm, jnp.asarray(0)))
+    converged = (rnorm <= atol) | (rnorm <= rtol * r0norm)
+    return NewtonResult(w, it, rnorm, converged)

@@ -37,6 +37,8 @@ from .fem.spaces import TaylorHoodSpace, BoundaryQuad
 from .mesh import rectangle_mesh, l_shape_mesh, mark_boundary_facets
 from .ode import solve_primal_ode, solve_adjoint_ode
 from .solve import newton_solve, solve_operator, GradProjector
+from .solve import mg as mg_mod
+from .solve.mg import MGContext
 from .solve.newton import NewtonResult
 
 _EPS = 1e-12
@@ -63,16 +65,27 @@ class OCPProblem:
     refine_iters: int = 6            # fp64 refinement sweeps per solve
     newton_reuse_lu: bool = False    # one LU per Newton solve + corrections
     psrc_method: str = "scatter"     # point-source reduction strategy
+    # mesh-robust Krylov path past the dense-LU cap (solve/mg.py):
+    mg: Optional[MGContext] = None   # two-grid transfer/coarse tables
+    linear_solver: str = "dense"     # "dense" | "mg"
+    # "reference" drops escaped buoys from the adjoint (OCP_dolfin.py:
+    # 237-238,354-355); "consistent" keeps their pre-escape contributions
+    # (gradient matches FD in escape regimes — beyond the reference)
+    adjoint_mode: str = "reference"
 
     def tree_flatten(self):
         return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
-                 self.projector, self.u_d, self.x0, self.center),
+                 self.projector, self.u_d, self.x0, self.center, self.mg),
                 (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
-                 self.newton_reuse_lu, self.psrc_method))
+                 self.newton_reuse_lu, self.psrc_method, self.linear_solver,
+                 self.adjoint_mode))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *head, mg = children
+        *scalars, linear_solver, adjoint_mode = aux
+        return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
+                   adjoint_mode=adjoint_mode)
 
     @property
     def K(self) -> int:
@@ -85,21 +98,20 @@ class ForwardState(NamedTuple):
     u_values: jnp.ndarray      # (K, nt, 2)
     mask: jnp.ndarray          # (K,) escaped buoys
     newton: NewtonResult
+    x_raw: jnp.ndarray         # (K, nt, 2) pre-escape positions
+    kfail: jnp.ndarray         # (K,) first failing step (nt if none)
 
 
 # ---------------------------------------------------------------------------
 # problem construction (host-side, one-time)
 # ---------------------------------------------------------------------------
 
-def build_problem(cfg: OCPConfig,
-                  u_d: Optional[np.ndarray] = None,
-                  x0: Optional[np.ndarray] = None) -> OCPProblem:
-    """Build the problem from a config, loading u_d/x0 from
-    ``reference_runs/<ud_experiment>`` unless given (OCP_dolfin.py:162-196).
-    """
+def _domain_setup(cfg: OCPConfig, resolution: Optional[int] = None):
+    """Mesh + domain center + boundary predicates for a resolution
+    (defaults to the config's; overridable for the MG coarse grid)."""
     if cfg.L_shape:
-        mesh = l_shape_mesh(cfg.L_shape_resolution,
-                            diagonal=cfg.mesh_diagonal)
+        n = resolution or cfg.L_shape_resolution
+        mesh = l_shape_mesh(n, diagonal=cfg.mesh_diagonal)
         center = np.array([1.0, 0.5])        # OCP_dolfin.py:81
         # Γ₁ = {x=0} ∪ {y=2}  (OCP_dolfin.py:118-121, L-shape branch)
         gamma1 = lambda x: ((np.abs(x[:, 0]) < _EPS)
@@ -108,7 +120,7 @@ def build_problem(cfg: OCPConfig,
         gamma2 = lambda x: ((x[:, 0] > _EPS)
                             & (np.abs(2.0 - x[:, 1]) > _EPS))
     else:
-        n = cfg.unit_square_resolution
+        n = resolution or cfg.unit_square_resolution
         mesh = rectangle_mesh((0.0, 0.0), (2.0, 2.0), n, n,
                               diagonal=cfg.mesh_diagonal)
         center = np.array([1.0, 1.0])        # OCP_dolfin.py:98
@@ -116,11 +128,43 @@ def build_problem(cfg: OCPConfig,
                             | (np.abs(2.0 - x[:, 0]) < _EPS))
         gamma2 = lambda x: ((x[:, 0] > _EPS)
                             & (np.abs(2.0 - x[:, 0]) > _EPS))
+    return mesh, center, gamma1, gamma2
 
+
+# past this many mixed dofs, "auto" picks the two-grid Krylov path (the
+# dense fp32 LU still compiles up to ~21k dofs with the raised scoped-VMEM
+# limit; see LARGE_SOLVE_COMPILER_OPTIONS)
+AUTO_MG_DOF_THRESHOLD = 25000
+
+
+def build_problem(cfg: OCPConfig,
+                  u_d: Optional[np.ndarray] = None,
+                  x0: Optional[np.ndarray] = None) -> OCPProblem:
+    """Build the problem from a config, loading u_d/x0 from
+    ``reference_runs/<ud_experiment>`` unless given (OCP_dolfin.py:162-196).
+    """
+    mesh, center, gamma1, gamma2 = _domain_setup(cfg)
     space = make_space(mesh)
     tags = mark_boundary_facets(mesh, gamma1, tag=1)
     bq = make_boundary_quad(mesh, tags, tag=1)
     bc_dofs, bc_vals = dirichlet_velocity_bc(mesh, space, gamma2)
+
+    linear_solver = getattr(cfg, "linear_solver", "auto")
+    if linear_solver == "auto":
+        linear_solver = ("mg" if space.ndof > AUTO_MG_DOF_THRESHOLD
+                         else "dense")
+    mg_ctx = None
+    if linear_solver == "mg":
+        n_fine = (cfg.L_shape_resolution if cfg.L_shape
+                  else cfg.unit_square_resolution)
+        n_coarse = max(n_fine // 2, 4)
+        mesh_c, _, g1c, g2c = _domain_setup(cfg, resolution=n_coarse)
+        space_c = make_space(mesh_c)
+        tags_c = mark_boundary_facets(mesh_c, g1c, tag=1)
+        bq_c = make_boundary_quad(mesh_c, tags_c, tag=1)
+        bc_dofs_c, _ = dirichlet_velocity_bc(mesh_c, space_c, g2c)
+        mg_ctx = mg_mod.build_mg_context(space, space_c, bq_c, bc_dofs_c,
+                                         cfg.viscosity)
 
     nt = cfg.num_time_steps
     if u_d is None or x0 is None:
@@ -146,7 +190,9 @@ def build_problem(cfg: OCPConfig,
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
         refine_iters=cfg.refine_iters,
         newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
-        psrc_method=getattr(cfg, "psrc_method", "scatter"))
+        psrc_method=getattr(cfg, "psrc_method", "scatter"),
+        mg=mg_ctx, linear_solver=linear_solver,
+        adjoint_mode=getattr(cfg, "adjoint_mode", "reference"))
 
 
 def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -205,13 +251,27 @@ def fd_direction(prob: OCPProblem) -> Control:
 
 @jax.jit
 def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
-    """Primal NS Newton solve, from w=0 (``OCP_dolfin.py:314-325``)."""
+    """Primal NS Newton solve, from w=0 (``OCP_dolfin.py:314-325``).
+
+    linear_solver="mg" swaps the dense-LU Newton steps for the mesh-robust
+    FGMRES + two-grid preconditioner (solve/mg.py) — the scaling path past
+    ~21k mixed dofs where the TPU dense LU no longer fits."""
     def residual(w):
         return assemble.ns_residual(prob.space, prob.bq, w, f_quad, prob.nu)
 
     def operator(w):
         return assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
                                     prob.bc_dofs)
+
+    if prob.linear_solver == "mg":
+        def coarse_operator(w):
+            w_c = mg_mod.inject_state(prob.mg, prob.space, w)
+            return assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c, w_c,
+                                        prob.nu, prob.mg.bc_dofs_c)
+
+        return mg_mod.newton_solve_mg(
+            residual, operator, coarse_operator, prob.mg, prob.space,
+            jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals)
 
     return newton_solve(residual, operator, jnp.zeros(prob.space.ndof),
                         prob.bc_dofs, prob.bc_vals,
@@ -225,7 +285,8 @@ def forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
     u, _ = prob.space.split(res.w)
     ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
                            prob.center)
-    return ForwardState(res.w, ode.x, ode.u_values, ode.mask, res)
+    return ForwardState(res.w, ode.x, ode.u_values, ode.mask, res,
+                        ode.x_raw, ode.kfail)
 
 
 @jax.jit
@@ -244,14 +305,44 @@ def cost(prob: OCPProblem, u_values: jnp.ndarray,
 @jax.jit
 def solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
     """∇u projection + adjoint ODE + point-source RHS + adjoint NS solve
-    (``OCP_dolfin.py:328-371``). Returns the mixed adjoint state z."""
+    (``OCP_dolfin.py:328-371``). Returns the mixed adjoint state z.
+
+    adjoint_mode="consistent" keeps escaped buoys' pre-escape adjoint
+    contributions (μ over t ≤ kfail−1 on the raw trajectory, point sources
+    at the raw positions plus the u(center) quirk term at kfail+1) so the
+    gradient matches FD in escape regimes; identical to the reference path
+    when no buoy escapes."""
+    from .ode.adjoint import solve_adjoint_ode_consistent
     u, _ = prob.space.split(fwd.w)
     grad_u = prob.projector.project(prob.space, u)
-    mu = solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
-                           prob.u_d, fwd.mask, prob.h)
-    b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
-                         prob.h, prob.center, method=prob.psrc_method)
+    if prob.adjoint_mode == "consistent":
+        mu = solve_adjoint_ode_consistent(
+            prob.space, grad_u, fwd.x_raw, fwd.u_values, prob.u_d,
+            fwd.mask, fwd.kfail, prob.h)
+        t = jnp.arange(prob.nt)[None, :]
+        kf = fwd.kfail[:, None]
+        pre = t <= kf - 1
+        quirk = t == kf + 1                     # u_values[kf+1] = u(center)
+        m = fwd.mask[:, None]
+        x_eff = jnp.where(m[..., None],
+                          jnp.where(pre[..., None], fwd.x_raw, prob.center),
+                          fwd.x)
+        active_t = jnp.where(m, pre | quirk, True)
+        b = point_source_rhs(prob.space, u, x_eff, mu, prob.u_d, fwd.mask,
+                             prob.h, prob.center, method=prob.psrc_method,
+                             active_t=active_t)
+    else:
+        mu = solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
+                               prob.u_d, fwd.mask, prob.h)
+        b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
+                             prob.h, prob.center, method=prob.psrc_method)
     op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w, prob.bc_dofs)
+    if prob.linear_solver == "mg":
+        w_c = mg_mod.inject_state(prob.mg, prob.space, fwd.w)
+        op_c = assemble.adjoint_operator(prob.mg.space_c, prob.mg.bq_c,
+                                         w_c, prob.mg.bc_dofs_c)
+        return mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
+                                        prob.bc_vals).x
     return solve_operator(op, b, prob.bc_vals,
                           refine_iters=prob.refine_iters)
 

@@ -39,6 +39,19 @@ def test_ensemble_matches_sequential(prob):
                            np.asarray(f.quad), atol=1e-12)
 
 
+def test_run_all_cases_fused():
+    """The C3 study's advertised all-cases-one-XLA-program capability."""
+    from ocean_jax.pipelines.initial_control import run_all_cases_fused
+    cfg = OCPConfig(ud_experiment="6_buoys", unit_square_resolution=8,
+                    num_steps=2, use_line_search=False, LR=1.0)
+    ens, prob = run_all_cases_fused(cfg)
+    assert ens.j_history.shape == (2, 4)
+    assert np.isfinite(np.asarray(ens.j_history)).all()
+    # the four initial controls genuinely differ
+    j_last = np.asarray(ens.j_history[-1])
+    assert len(np.unique(np.round(j_last, 12))) == 4
+
+
 def test_ensemble_lr_grid(prob):
     f0 = stack_controls([sys_mod.initial_control(prob, 0)] * 3)
     lr0 = jnp.asarray([0.5, 1.0, 2.0])

@@ -1,0 +1,115 @@
+"""Geometric two-grid Krylov path (solve/mg.py) — the scaling axis past the
+dense-LU cap (reference scales resolution via sparse CPU LU,
+OCP_dolfin.py:28-30; we scale via FGMRES + two-grid block preconditioning).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocean_jax.config import OCPConfig
+from ocean_jax import system as sys_mod
+
+
+def _problem(nx, solver, K=4, seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = OCPConfig(unit_square_resolution=nx, ud_experiment=f"{K}_buoys",
+                    T=0.05, dt=0.005, linear_solver=solver)
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    x0 = 0.3 + 1.4 * rng.random((K, 2))
+    return sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+
+
+@pytest.fixture(scope="module")
+def pair16():
+    return _problem(16, "dense"), _problem(16, "mg")
+
+
+def test_mg_newton_matches_dense(pair16):
+    pd, pm = pair16
+    f = sys_mod.initial_control(pd, case=0)
+    rd = sys_mod.solve_ns(pd, f.quad)
+    rm = sys_mod.solve_ns(pm, f.quad)
+    assert bool(rm.converged)
+    assert float(jnp.max(jnp.abs(rd.w - rm.w))) < 1e-9
+
+
+def test_mg_adjoint_matches_dense(pair16):
+    pd, pm = pair16
+    f = sys_mod.initial_control(pd, case=0)
+    zd = sys_mod.solve_adjoint(pd, sys_mod.forward(pd, f.quad))
+    zm = sys_mod.solve_adjoint(pm, sys_mod.forward(pm, f.quad))
+    assert float(jnp.max(jnp.abs(zd - zm))) < 1e-9
+
+
+def test_mg_gd_step_parity(pair16):
+    """Full fused GD iteration (line search on) agrees between the dense
+    and two-grid linear solvers."""
+    pd, pm = pair16
+    f = sys_mod.initial_control(pd, case=0)
+    lr = jnp.asarray(5.0)
+    a = sys_mod.gd_step(pd, f, lr, use_line_search=True, max_ls_iters=10)
+    b = sys_mod.gd_step(pm, f, lr, use_line_search=True, max_ls_iters=10)
+    assert not bool(b.diverged)
+    assert float(a.lr) == float(b.lr)
+    assert abs(float(a.J) - float(b.J)) <= 1e-9 * abs(float(a.J))
+    assert float(jnp.max(jnp.abs(a.f_new.quad - b.f_new.quad))) < 1e-10
+
+
+def test_mg_mesh_independent_cycles():
+    """The block preconditioner keeps FGMRES restart-cycle counts flat as
+    the mesh refines (the property that unlocks Nx>=64 on TPU)."""
+    from ocean_jax.fem import assemble
+    from ocean_jax.solve import mg as mg_mod, krylov
+    cycles = {}
+    rng = np.random.default_rng(1)
+    for nx in (8, 16, 24):
+        prob = _problem(nx, "mg")
+        f = sys_mod.initial_control(prob, case=0)
+        w = sys_mod.solve_ns(prob, f.quad).w
+        op = assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
+                                  prob.bc_dofs)
+        w_c = mg_mod.inject_state(prob.mg, prob.space, w)
+        op_c = assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c, w_c,
+                                    prob.nu, prob.mg.bc_dofs_c)
+        b = assemble.apply_bc_vector(
+            jnp.asarray(rng.standard_normal(prob.space.ndof)),
+            prob.bc_dofs, prob.bc_vals)
+        M = mg_mod.make_block_preconditioner(prob.mg, prob.space, op, op_c)
+        res = krylov.fgmres(op.matvec64, b, M=M, restart=30,
+                            max_restarts=40, tol=1e-11)
+        assert bool(res.converged)
+        cycles[nx] = int(res.iterations)
+    # measured: 2 cycles at every resolution; allow slack but require
+    # no growth trend
+    assert max(cycles.values()) <= 4, cycles
+    assert cycles[24] <= cycles[8] + 1, cycles
+
+
+def test_mg_lshape_staircase():
+    """Odd L-shape resolutions put staircase dofs outside the analytic
+    domain; the transfer builder snaps them (O(h) rows near the corner)."""
+    cfg = OCPConfig(L_shape=True, L_shape_resolution=13,
+                    ud_experiment="3_buoys", linear_solver="mg",
+                    T=0.05, dt=0.005)
+    u_d, x0 = sys_mod.lshape_ud(cfg)
+    pm = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    pd = sys_mod.build_problem(
+        dataclasses.replace(cfg, linear_solver="dense"), u_d=u_d, x0=x0)
+    f = sys_mod.initial_control(pm, case=0)
+    rm = sys_mod.solve_ns(pm, f.quad)
+    rd = sys_mod.solve_ns(pd, f.quad)
+    assert bool(rm.converged)
+    assert float(jnp.max(jnp.abs(rm.w - rd.w))) < 1e-9
+
+
+def test_auto_solver_selection():
+    """linear_solver="auto" picks dense below the dof threshold and mg
+    above it (build-only check; no big solve)."""
+    small = _problem(8, "auto")
+    assert small.linear_solver == "dense" and small.mg is None
+    big = _problem(56, "auto", K=2)
+    assert big.linear_solver == "mg" and big.mg is not None
+    assert big.mg.space_c.ndof < big.space.ndof

@@ -81,6 +81,36 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+def test_sharded_step_2d_matches_single_device():
+    """The 2-D ("dof" × "buoy") mesh step — dof-sharded FGMRES saddle
+    solves composed with buoy data parallelism — reproduces the
+    single-device mg gd_step (SURVEY §5.8, the high-resolution layout)."""
+    import dataclasses
+    from ocean_jax.parallel import make_2d_mesh, make_sharded_step_2d
+    rng = np.random.default_rng(0)
+    K = 6
+    cfg = OCPConfig(unit_square_resolution=24, ud_experiment=f"{K}_buoys",
+                    T=0.05, dt=0.005, linear_solver="mg")
+    seeds = 0.3 + 1.4 * rng.random((K, 2))
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
+    f = sys_mod.initial_control(prob, case=0)
+    lr = jnp.asarray(1.0)
+
+    ref = sys_mod.gd_step(prob, f, lr, use_line_search=False)
+
+    mesh = make_2d_mesh(2, 4)
+    assert mesh.shape == {"dof": 2, "buoy": 4}
+    step = make_sharded_step_2d(prob, mesh)
+    fq, fp2, lr2, j, escaped, diverged = step(f.quad, f.p2, lr)
+
+    assert not bool(diverged)
+    assert np.isclose(float(j), float(ref.J), rtol=1e-9)
+    assert np.allclose(np.asarray(fq), np.asarray(ref.f_new.quad),
+                       atol=1e-9)
+    assert float(escaped) == float(ref.fwd.mask.sum())
+
+
 def test_sharded_matvec_matches(tiny_problem):
     """Cell-sharded operator application equals the single-device
     matrix-free matvec (dof/mesh parallelism, SURVEY §2.3 item 2)."""
