@@ -120,6 +120,13 @@ def stages_main():
                               refine_iters=prob.refine_iters)
     s_adjsolve = jax.jit(adj_solve)
 
+    # micro-probes: the raw batched field evaluations (K·nt = 2e6 points)
+    # that dominate the ODE stages — the optimization targets
+    from ocean_jax.fem.interpolate import eval_p1_tensor, eval_velocity
+    pts = fwd.x.reshape(-1, 2)
+    s_evalp1 = jax.jit(lambda p: eval_p1_tensor(prob.space, grad_u, p)[0])
+    s_evalu = jax.jit(lambda p: eval_velocity(prob.space, u, p)[0])
+
     stages = {
         "ns_newton_solve": _timeit(s_newton, fq),
         "primal_ode_scan": _timeit(s_ode, u),
@@ -127,6 +134,8 @@ def stages_main():
         "adjoint_ode": _timeit(s_adjode, grad_u),
         "point_sources": _timeit(s_psrc, mu),
         "adjoint_assemble_solve": _timeit(s_adjsolve, b),
+        "micro_eval_p1_tensor_2e6pts": _timeit(s_evalp1, pts),
+        "micro_eval_velocity_2e6pts": _timeit(s_evalu, pts),
     }
     full = _timeit(
         lambda q: sys_mod.gd_step(prob, f, lr, use_line_search=False).J, fq)

@@ -48,11 +48,14 @@ def make_sharded_matvec(op: Operator, mesh: Mesh
         facet_dofs = _pad_axis(op.facet_dofs, n_dev)
 
     def shard_fn(cm, cd, x, *facet):
+        # compute at the precision of the input vector: float64 for exact
+        # refinement residuals, native float32 for the Krylov fast path
         y = jnp.zeros(op.n, x.dtype).at[cd].add(
-            jnp.einsum("cab,cb->ca", cm, x[cd]))
+            jnp.einsum("cab,cb->ca", cm.astype(x.dtype), x[cd]))
         if facet:
             fm, fd = facet
-            y = y.at[fd].add(jnp.einsum("fab,fb->fa", fm, x[fd]))
+            y = y.at[fd].add(
+                jnp.einsum("fab,fb->fa", fm.astype(x.dtype), x[fd]))
         return jax.lax.psum(y, axis)
 
     if has_facets:

@@ -91,18 +91,19 @@ def fgmres(matvec: Callable[[jnp.ndarray], jnp.ndarray],
         M = lambda x: x
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)  # f32-safe guard
     bnorm = jnp.linalg.norm(b)
-    target = tol * jnp.maximum(bnorm, 1e-300)
+    target = tol * jnp.maximum(bnorm, tiny)
 
     def cycle(carry):
         x, rnorm, it, done = carry
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         # Arnoldi with modified Gram-Schmidt, fixed restart length
-        V = jnp.zeros((restart + 1, n)).at[0].set(
-            r / jnp.maximum(beta, 1e-300))
-        Z = jnp.zeros((restart, n))
-        H = jnp.zeros((restart + 1, restart))
+        V = jnp.zeros((restart + 1, n), b.dtype).at[0].set(
+            r / jnp.maximum(beta, tiny))
+        Z = jnp.zeros((restart, n), b.dtype)
+        H = jnp.zeros((restart + 1, restart), b.dtype)
 
         def arnoldi(j, state):
             V, Z, H = state
@@ -113,15 +114,20 @@ def fgmres(matvec: Callable[[jnp.ndarray], jnp.ndarray],
             hs = jnp.where(mask, hs, 0.0)
             w = w - hs @ V
             hnew = jnp.linalg.norm(w)
-            V = V.at[j + 1].set(w / jnp.maximum(hnew, 1e-300))
+            V = V.at[j + 1].set(w / jnp.maximum(hnew, tiny))
             H = H.at[:, j].set(hs).at[j + 1, j].set(hnew)
             Z = Z.at[j].set(z)
             return (V, Z, H)
 
         V, Z, H = jax.lax.fori_loop(0, restart, arnoldi, (V, Z, H))
-        # least squares min ||beta e1 - H y||
-        e1 = jnp.zeros(restart + 1).at[0].set(beta)
-        y, _, _, _ = jnp.linalg.lstsq(H, e1)
+        # least squares min ||beta e1 - H y|| — solved in float64
+        # regardless of the Krylov dtype: the (restart+1, restart) system
+        # is tiny (emulated-f64 cost is negligible) and f32 SVD both loses
+        # accuracy and aborts the TPU remote-compile helper
+        e1 = jnp.zeros(restart + 1, jnp.float64).at[0].set(
+            beta.astype(jnp.float64))
+        y, _, _, _ = jnp.linalg.lstsq(H.astype(jnp.float64), e1)
+        y = y.astype(b.dtype)
         x_new = x + y @ Z
         r_new = b - matvec(x_new)
         rnorm_new = jnp.linalg.norm(r_new)

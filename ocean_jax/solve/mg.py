@@ -171,10 +171,29 @@ def inject_state(mg: MGContext, space_f: TaylorHoodSpace,
 # the preconditioner
 # ---------------------------------------------------------------------------
 
+def op_matvec(op: Operator, dtype=jnp.float64
+              ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Matrix-free operator application at a chosen precision. float32 is
+    the TPU-native fast path (the f64 einsums are software-emulated); the
+    element matrices are cast once at closure build time."""
+    cm = op.cell_mats.astype(dtype)
+    fm = None if op.facet_mats is None else op.facet_mats.astype(dtype)
+
+    def mv(x):
+        y = jnp.zeros(op.n, dtype).at[op.cell_dofs].add(
+            jnp.einsum("cab,cb->ca", cm, x[op.cell_dofs]))
+        if fm is not None:
+            y = y.at[op.facet_dofs].add(
+                jnp.einsum("fab,fb->fa", fm, x[op.facet_dofs]))
+        return y.at[op.bc_dofs].set(x[op.bc_dofs])
+
+    return mv
+
+
 def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
                               op_mixed: Operator, op_mixed_c: Operator,
                               omega: float = 0.6, pre: int = 2,
-                              post: int = 2
+                              post: int = 2, dtype=jnp.float64
                               ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build M ≈ P⁻¹ from a (possibly frozen) fine mixed operator and the
     matching coarse mixed operator.
@@ -182,42 +201,52 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
       M(r): p = −Ŝ⁻¹ r_p;  u = V-cycle_Â(r_u − Bᵀp);  return (u, p)
 
     The V-cycle smooths with damped Jacobi on the fine velocity block and
-    solves the coarse velocity block exactly (fp32 dense LU)."""
+    solves the coarse velocity block exactly (fp32 dense LU). ``dtype``
+    sets the preconditioner arithmetic — float32 feeds the
+    mixed-precision FGMRES production path."""
+    import jax.scipy.linalg as jsl
     n_vel = 2 * space_f.n_p2
     vel_f = velocity_block(op_mixed, n_vel)
     d = krylov.operator_diagonal(vel_f)
-    dinv = omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+    dinv = (omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)).astype(dtype)
+    vel_mv = op_matvec(vel_f, dtype)
+    mixed_mv = op_matvec(op_mixed, dtype)
 
     vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
     fac_c = linalg.factorize(vel_c.dense())
 
+    def coarse_solve(rc):
+        return jsl.lu_solve((fac_c.lu, fac_c.piv),
+                            rc.astype(jnp.float32)).astype(dtype)
+
     bc_f = op_mixed.bc_dofs
     bc_c = mg.bc_dofs_c
+    pro_w = mg.pro_w.astype(dtype)
+    pm_inv = mg.pm_inv.astype(dtype)
 
     def vcycle(r):                                    # r: (n_vel,)
         e = dinv * r
         for _ in range(pre - 1):
-            e = e + dinv * (r - vel_f.matvec64(e))
+            e = e + dinv * (r - vel_mv(e))
         # coarse correction (transfers act on (n_p2, 2) velocity fields)
-        res = (r - vel_f.matvec64(e)).reshape(-1, 2)
-        rc = _interp_t(mg.pro_dofs, mg.pro_w, res,
+        res = (r - vel_mv(e)).reshape(-1, 2)
+        rc = _interp_t(mg.pro_dofs, pro_w, res,
                        mg.space_c.n_p2).reshape(-1)
         rc = rc.at[bc_c].set(0.0)
-        ec = fac_c.solve32(rc)
-        ef = _interp(mg.pro_dofs, mg.pro_w, ec.reshape(-1, 2)).reshape(-1)
+        ec = coarse_solve(rc)
+        ef = _interp(mg.pro_dofs, pro_w, ec.reshape(-1, 2)).reshape(-1)
         ef = ef.at[bc_f].set(0.0)
         e = e + ef
         for _ in range(post):
-            e = e + dinv * (r - vel_f.matvec64(e))
+            e = e + dinv * (r - vel_mv(e))
         return e
 
     def M(r):
         ru, rp = r[:n_vel], r[n_vel:]
-        p = -mg.pm_inv * rp
+        p = -pm_inv * rp
         # Bᵀp through the mixed matvec of (0, p): the gradient block is
         # state-independent, so the frozen operator is exact here
-        btp = op_mixed.matvec64(
-            jnp.concatenate([jnp.zeros(n_vel), p]))[:n_vel]
+        btp = mixed_mv(jnp.concatenate([jnp.zeros(n_vel, dtype), p]))[:n_vel]
         u = vcycle(ru - btp)
         return jnp.concatenate([u, p])
 
@@ -238,20 +267,51 @@ class MGSolveResult(NamedTuple):
 def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
                       space_f: TaylorHoodSpace, b: jnp.ndarray,
                       bc_vals: jnp.ndarray, tol: float = 1e-11,
-                      restart: int = 60, max_restarts: int = 25,
+                      restart: int = 60, max_restarts: int = 4,
+                      inner_tol: float = 1e-6, max_rounds: int = 4,
                       matvec_of: Callable = None) -> MGSolveResult:
     """Mesh-robust replacement for the dense ``solve_operator`` (adjoint NS
-    solve, ``OCP_dolfin.py:371``): FGMRES + two-grid block preconditioner.
+    solve, ``OCP_dolfin.py:371``): mixed-precision FGMRES + two-grid block
+    preconditioner.
+
+    TPU-first precision design (same recipe as the dense path's fp32 LU +
+    fp64 refinement, ``ops/linalg.py``): the Krylov iteration runs in
+    NATIVE float32 (matvec, Gram–Schmidt, preconditioner — the fp64
+    equivalents are software-emulated and ~10× slower on TPU); full fp64
+    accuracy is recovered by outer iterative-refinement rounds whose
+    residuals use the exact fp64 matvec. Each round contracts the fp64
+    residual by ~``inner_tol``.
+
     ``op_c`` must be the coarse assembly of the SAME bilinear form.
     ``matvec_of`` (op → matvec) lets multi-chip callers swap in a
     dof-sharded operator application (parallel/dof_sharding.py)."""
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
-    M = make_block_preconditioner(mg, space_f, op, op_c)
-    mv = op.matvec64 if matvec_of is None else matvec_of(op)
-    res = krylov.fgmres(mv, b, M=M, restart=restart,
-                        max_restarts=max_restarts, tol=tol)
-    return MGSolveResult(res.x, res.residual_norm, res.iterations,
-                         res.converged)
+    M32 = make_block_preconditioner(mg, space_f, op, op_c,
+                                    dtype=jnp.float32)
+    mv64 = op.matvec64 if matvec_of is None else matvec_of(op)
+    mv32 = op_matvec(op, jnp.float32)
+
+    bnorm = jnp.linalg.norm(b)
+    target = tol * jnp.maximum(bnorm, 1e-300)
+
+    def cond(state):
+        x, rnorm, it, inner = state
+        return (rnorm > target) & (it < max_rounds)
+
+    def body(state):
+        x, rnorm, it, inner = state
+        r = b - mv64(x)
+        sol = krylov.fgmres(mv32, r.astype(jnp.float32), M=M32,
+                            restart=restart, max_restarts=max_restarts,
+                            tol=inner_tol)
+        x = x + sol.x.astype(jnp.float64)
+        return (x, jnp.linalg.norm(b - mv64(x)), it + 1,
+                inner + sol.iterations)
+
+    x0 = jnp.zeros_like(b)
+    x, rnorm, rounds, inner = jax.lax.while_loop(
+        cond, body, (x0, bnorm, jnp.asarray(0), jnp.asarray(0)))
+    return MGSolveResult(x, rnorm, inner, rnorm <= target)
 
 
 def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -261,8 +321,9 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     w0: jnp.ndarray, bc_dofs: jnp.ndarray,
                     bc_vals: jnp.ndarray,
                     rtol: float = 1e-9, atol: float = 1e-10,
-                    max_iter: int = 50, step_tol: float = 1e-8,
-                    restart: int = 60, max_restarts: int = 12,
+                    max_iter: int = 50, step_tol: float = 1e-6,
+                    restart: int = 60, max_restarts: int = 4,
+                    polish: int = 1,
                     matvec_of: Callable = None) -> NewtonResult:
     """BC-aware Newton with FGMRES linear steps (same convergence criteria
     as ``newton_solve``; drop-in past the dense-LU resolution cap).
@@ -272,7 +333,16 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     only costs Krylov iterations, never accuracy, since each step's matvec
     is the exact current Jacobian and the convergence test is the exact
     fp64 residual (mirrors the ``reuse_factorization`` trade of
-    ``solve/newton.py`` without its divergence risk)."""
+    ``solve/newton.py`` without its divergence risk).
+
+    Precision: each Newton step's FGMRES runs in native float32 (a
+    ~``step_tol``-accurate direction is all a Newton step needs — the
+    fp32-LU dense path makes the identical trade) and the Newton loop's
+    own exact-fp64 residual test acts as the refinement loop. After the
+    tolerance test passes, ``polish`` extra correction steps push the
+    residual well below it (each contracts by ~step_tol), matching the
+    dense path's incidental overshoot so downstream parity holds at
+    1e-9 in w."""
 
     def bc_residual(w):
         r = residual_fn(w)
@@ -280,7 +350,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
     op0 = operator_fn(w0)
     op0_c = coarse_operator_fn(w0)
-    M = make_block_preconditioner(mg, space_f, op0, op0_c)
+    M32 = make_block_preconditioner(mg, space_f, op0, op0_c,
+                                    dtype=jnp.float32)
 
     r0 = bc_residual(w0)
     r0norm = jnp.linalg.norm(r0)
@@ -293,14 +364,20 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     def body(state):
         w, r, rnorm, it = state
         op = operator_fn(w)
-        mv = op.matvec64 if matvec_of is None else matvec_of(op)
-        sol = krylov.fgmres(mv, -r, M=M, restart=restart,
-                            max_restarts=max_restarts, tol=step_tol)
-        w = w + sol.x
+        if matvec_of is None:
+            mv32 = op_matvec(op, jnp.float32)
+        else:
+            mv32 = matvec_of(op)
+        sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,
+                            restart=restart, max_restarts=max_restarts,
+                            tol=step_tol)
+        w = w + sol.x.astype(jnp.float64)
         r = bc_residual(w)
         return (w, r, jnp.linalg.norm(r), it + 1)
 
     w, r, rnorm, it = jax.lax.while_loop(
         cond, body, (w0, r0, r0norm, jnp.asarray(0)))
     converged = (rnorm <= atol) | (rnorm <= rtol * r0norm)
+    for _ in range(polish):
+        w, r, rnorm, it = body((w, r, rnorm, it))
     return NewtonResult(w, it, rnorm, converged)

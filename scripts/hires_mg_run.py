@@ -57,6 +57,35 @@ def run_gd(prob, f, lr, iters, fh, tag, line_search=False):
     return js, times, newton_iters
 
 
+def run_gd_staged(prob, f, lr, iters, fh, tag):
+    """Stage-separated GD iteration (forward / adjoint / update as three
+    XLA programs). The fused Nx=64 gd_step reproducibly crashes the
+    remote-compile worker (known large-HLO failure mode); the staged path
+    compiles each sub-program separately — same math, same records."""
+    import jax.numpy as jnp
+    from ocean_jax import system as sys_mod
+    js, times, newton_iters = [], [], []
+    for i in range(iters):
+        t0 = time.time()
+        fwd = sys_mod.forward(prob, f.quad)
+        z = sys_mod.solve_adjoint(prob, fwd)
+        g = sys_mod.reduced_gradient(prob, f, z)
+        f_new = f.axpy(-float(lr), g)
+        j = float(sys_mod.cost(prob, fwd.u_values, f_new.quad))
+        dt = time.time() - t0
+        assert np.isfinite(j), f"{tag}: non-finite J at iteration {i}"
+        assert bool(fwd.newton.converged), (
+            f"{tag}: Newton not converged at iteration {i} "
+            f"(residual {float(fwd.newton.residual_norm):.3e})")
+        js.append(j)
+        times.append(dt)
+        newton_iters.append(int(fwd.newton.iterations))
+        log(f"{tag} it={i} J={j:.6e} newton={newton_iters[-1]} "
+            f"t={dt:.2f}s [staged]", fh)
+        f = f_new
+    return js, times, newton_iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
@@ -67,6 +96,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1.0)
     ap.add_argument("--skip-crosscheck", action="store_true")
     ap.add_argument("--line-search", action="store_true")
+    ap.add_argument("--staged", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -112,9 +142,13 @@ def main():
         log(f"built Nx={nx}: ndof={prob.space.ndof} "
             f"coarse={prob.mg.space_c.ndof} ({time.time()-t0:.1f}s)", fh)
         f = sys_mod.initial_control(prob, case=4)
-        js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
-                                args.iters, fh, f"nx{nx}",
-                                line_search=args.line_search)
+        if args.staged:
+            js, times, nit = run_gd_staged(prob, f, args.lr, args.iters,
+                                           fh, f"nx{nx}")
+        else:
+            js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
+                                    args.iters, fh, f"nx{nx}",
+                                    line_search=args.line_search)
         if not js[-1] < js[0]:
             log(f"nx{nx}: WARNING J did not descend at lr={args.lr}: "
                 f"{js}", fh)

@@ -67,6 +67,20 @@ def test_control_history_appended():
     assert np.array_equal(p2s[-1], latest["p2"])
 
 
+def test_orbax_checkpoint_roundtrip():
+    """Orbax backend stores/restores the same payload as io.checkpoint."""
+    import jax.numpy as jnp
+    from ocean_jax.control import Control
+    from ocean_jax.io import orbax_ckpt
+    c = Control(jnp.arange(24.0).reshape(2, 6, 2), jnp.ones((5, 2)))
+    d = tempfile.mkdtemp() + "/ck"
+    orbax_ckpt.save_control(d, c, lr=2.5, iteration=7)
+    c2, lr, it = orbax_ckpt.load_control(d)
+    assert np.allclose(np.asarray(c.quad), np.asarray(c2.quad))
+    assert np.allclose(np.asarray(c.p2), np.asarray(c2.p2))
+    assert lr == 2.5 and it == 7
+
+
 def test_variables_txt_format():
     from ocean_jax.io import artifacts
     d = tempfile.mkdtemp()
