@@ -57,15 +57,29 @@ def run_gd(prob, f, lr, iters, fh, tag, line_search=False):
     return js, times, newton_iters
 
 
-def run_gd_staged(prob, f, lr, iters, fh, tag):
+def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None):
     """Stage-separated GD iteration (forward / adjoint / update as three
     XLA programs). The fused Nx=64 gd_step reproducibly crashes the
     remote-compile worker (known large-HLO failure mode); the staged path
-    compiles each sub-program separately — same math, same records."""
+    compiles each sub-program separately — same math, same records.
+
+    ``state_path``: crash-resume checkpoint — the tunneled TPU worker can
+    die mid-run; each completed iteration persists (control, J, timing)
+    so a relaunched process continues where the last one stopped."""
     import jax.numpy as jnp
+    from ocean_jax.control import Control
     from ocean_jax import system as sys_mod
     js, times, newton_iters = [], [], []
-    for i in range(iters):
+    start = 0
+    if state_path and os.path.exists(state_path):
+        st = np.load(state_path)
+        f = Control(jnp.asarray(st["quad"]), jnp.asarray(st["p2"]))
+        js = list(st["js"])
+        times = list(st["times"])
+        newton_iters = [int(v) for v in st["newton_iters"]]
+        start = len(js)
+        log(f"{tag}: resuming at iteration {start}", fh)
+    for i in range(start, iters):
         t0 = time.time()
         fwd = sys_mod.forward(prob, f.quad)
         z = sys_mod.solve_adjoint(prob, fwd)
@@ -83,6 +97,11 @@ def run_gd_staged(prob, f, lr, iters, fh, tag):
         log(f"{tag} it={i} J={j:.6e} newton={newton_iters[-1]} "
             f"t={dt:.2f}s [staged]", fh)
         f = f_new
+        if state_path:
+            np.savez(state_path, quad=np.asarray(f.quad),
+                     p2=np.asarray(f.p2), js=np.asarray(js),
+                     times=np.asarray(times),
+                     newton_iters=np.asarray(newton_iters))
     return js, times, newton_iters
 
 
@@ -143,8 +162,9 @@ def main():
             f"coarse={prob.mg.space_c.ndof} ({time.time()-t0:.1f}s)", fh)
         f = sys_mod.initial_control(prob, case=4)
         if args.staged:
-            js, times, nit = run_gd_staged(prob, f, args.lr, args.iters,
-                                           fh, f"nx{nx}")
+            js, times, nit = run_gd_staged(
+                prob, f, args.lr, args.iters, fh, f"nx{nx}",
+                state_path=os.path.join(OUT, f"state_nx{nx}.npz"))
         else:
             js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
                                     args.iters, fh, f"nx{nx}",
