@@ -77,6 +77,7 @@ class OCPConfig:
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
+    ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)
     reuse_ls_forward: bool = False    # reuse the accepted Armijo probe's forward state (bit-identical)
     seed: int = 0
 

@@ -46,18 +46,28 @@ class PrimalODEResult(NamedTuple):
 def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
                      x0: jnp.ndarray, h: float, nt: int,
                      center: jnp.ndarray,
-                     unroll: int = 4) -> PrimalODEResult:
+                     unroll: int = 4, grid=None) -> PrimalODEResult:
     """u: (n_p2, 2) velocity dofs; x0: (K, 2) seeds; nt time samples.
 
     ``unroll`` trades compile time for lower per-step scan overhead (the
     time loop is inherently sequential; each step's work is small relative
-    to TPU loop overhead at large K)."""
-    u_center, _ = eval_velocity(space, u, center)
+    to TPU loop overhead at large K).
+
+    ``grid``: optional ``ode.grideval.GridEval`` — evaluate through the
+    table-free half-grid stencil instead of the locate/dofmap gather chain
+    (same values to rounding; fewer gathers per step)."""
+    if grid is not None:
+        from .grideval import velocity_to_grid, eval_velocity_grid
+        u_img = velocity_to_grid(grid, u)
+        eval_u = lambda pts: eval_velocity_grid(grid, u_img, pts)
+    else:
+        eval_u = lambda pts: eval_velocity(space, u, pts)
+    u_center, _ = eval_u(center)
 
     def one_buoy(x0_b):
         def step(carry, k):
             pos, failed, kfail = carry
-            uv, inside = eval_velocity(space, u, pos)
+            uv, inside = eval_u(pos)
             fail_now = (~inside) & (~failed)
             failed_new = failed | (~inside)
             kfail = jnp.where(fail_now, k, kfail)
@@ -79,7 +89,7 @@ def solve_primal_ode(space: TaylorHoodSpace, u: jnp.ndarray,
 
         # final evaluation at x[nt-1] (OCP_dolfin.py:223-229)
         last_inside = in_domain(space.locator, x[nt - 1])
-        u_last, _ = eval_velocity(space, u, x[nt - 1])
+        u_last, _ = eval_u(x[nt - 1])
         u_values = u_values.at[nt - 1].set(
             jnp.where(last_inside, u_last, jnp.zeros(2)))
         x = x.at[nt - 1].set(jnp.where(last_inside, x[nt - 1], center))

@@ -36,6 +36,7 @@ from .fem.interpolate import boundary_eval_velocity
 from .fem.spaces import TaylorHoodSpace, BoundaryQuad
 from .mesh import rectangle_mesh, l_shape_mesh, mark_boundary_facets
 from .ode import solve_primal_ode, solve_adjoint_ode
+from .ode.grideval import make_grideval
 from .solve import newton_solve, solve_operator, GradProjector
 from .solve import mg as mg_mod
 from .solve.mg import MGContext
@@ -72,20 +73,27 @@ class OCPProblem:
     # 237-238,354-355); "consistent" keeps their pre-escape contributions
     # (gradient matches FD in escape regimes — beyond the reference)
     adjoint_mode: str = "reference"
+    # primal-ODE point-eval backend (ode/grideval.py, ode/pallas_ode.py):
+    # "gather" (locate/dofmap index tables), "grid" (table-free half-grid
+    # stencil), "pallas" (fused 200-step TPU mega-kernel)
+    ode_backend: str = "gather"
+    grid: Optional[object] = None    # GridEval tables (grid/pallas backends)
 
     def tree_flatten(self):
         return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
-                 self.projector, self.u_d, self.x0, self.center, self.mg),
+                 self.projector, self.u_d, self.x0, self.center, self.mg,
+                 self.grid),
                 (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
-                 self.adjoint_mode))
+                 self.adjoint_mode, self.ode_backend))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *head, mg = children
-        *scalars, linear_solver, adjoint_mode = aux
+        *head, mg, grid = children
+        *scalars, linear_solver, adjoint_mode, ode_backend = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
-                   adjoint_mode=adjoint_mode)
+                   adjoint_mode=adjoint_mode, ode_backend=ode_backend,
+                   grid=grid)
 
     @property
     def K(self) -> int:
@@ -149,6 +157,7 @@ def build_problem(cfg: OCPConfig,
     bq = make_boundary_quad(mesh, tags, tag=1)
     bc_dofs, bc_vals = dirichlet_velocity_bc(mesh, space, gamma2)
 
+    ode_backend = getattr(cfg, "ode_backend", "gather")
     linear_solver = getattr(cfg, "linear_solver", "auto")
     if linear_solver == "auto":
         linear_solver = ("mg" if space.ndof > AUTO_MG_DOF_THRESHOLD
@@ -192,7 +201,9 @@ def build_problem(cfg: OCPConfig,
         newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
         psrc_method=getattr(cfg, "psrc_method", "scatter"),
         mg=mg_ctx, linear_solver=linear_solver,
-        adjoint_mode=getattr(cfg, "adjoint_mode", "reference"))
+        adjoint_mode=getattr(cfg, "adjoint_mode", "reference"),
+        ode_backend=ode_backend,
+        grid=(make_grideval(space) if ode_backend != "gather" else None))
 
 
 def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -280,11 +291,23 @@ def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
 
 @jax.jit
 def forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
-    """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``)."""
+    """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``).
+
+    The primal ODE runs on the configured ``ode_backend``: the index-table
+    gather chain (reference-exact anchor), the table-free half-grid
+    stencil, or the fused Pallas TPU kernel (one kernel for all nt-1 Euler
+    steps; double-single f32 positions hold f64-equivalent accuracy)."""
     res = solve_ns(prob, f_quad)
     u, _ = prob.space.split(res.w)
-    ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
-                           prob.center)
+    if prob.ode_backend == "pallas":
+        from .ode.pallas_ode import solve_primal_ode_pallas
+        ode = solve_primal_ode_pallas(prob.space, prob.grid, u, prob.x0,
+                                      prob.h, prob.nt, prob.center)
+    else:
+        ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
+                               prob.center,
+                               grid=(prob.grid if prob.ode_backend == "grid"
+                                     else None))
     return ForwardState(res.w, ode.x, ode.u_values, ode.mask, res,
                         ode.x_raw, ode.kfail)
 
