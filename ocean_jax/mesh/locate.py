@@ -41,16 +41,29 @@ class Locator:
     extent: Tuple[float, float, float, float]
     lshape_corner: Tuple[float, float]
     hole: Tuple[float, float, float] = None
+    # non-None for locally-graded tensor grids (mesh/structured.py
+    # ``graded_lines``): point location switches from the closed-form
+    # index computation to a vectorized searchsorted over the grid lines
+    # (the structured analog of gmsh's distance-field size control,
+    # ``old_dolfinx_files/mesh_init.py:145-165``)
+    xs_lines: jnp.ndarray = None  # (nx+1,)
+    ys_lines: jnp.ndarray = None  # (ny+1,)
 
     def tree_flatten(self):
-        children = (self.square_to_cell, self.cell_v0, self.cell_jinv)
+        children = (self.square_to_cell, self.cell_v0, self.cell_jinv,
+                    self.xs_lines, self.ys_lines)
         aux = (self.origin, self.spacing, self.grid_shape, self.diagonal,
                self.domain, self.extent, self.lshape_corner, self.hole)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *head, xs_lines, ys_lines = children
+        return cls(*head, *aux, xs_lines=xs_lines, ys_lines=ys_lines)
+
+    @property
+    def uniform(self) -> bool:
+        return self.xs_lines is None
 
     @classmethod
     def from_mesh(cls, mesh: Mesh2D) -> "Locator":
@@ -69,6 +82,8 @@ class Locator:
             extent=mesh.extent,
             lshape_corner=mesh.lshape_corner,
             hole=mesh.hole,
+            xs_lines=(None if mesh.xs is None else jnp.asarray(mesh.xs)),
+            ys_lines=(None if mesh.ys is None else jnp.asarray(mesh.ys)),
         )
 
 
@@ -117,12 +132,25 @@ def locate_points(loc: Locator, points: jnp.ndarray
         in_block = (px < cx) & (py > cy)
         py = jnp.where(in_block, cy - 0.5 * hy, py)
 
-    fx = (px - x0) / hx
-    fy = (py - y0) / hy
-    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
-    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
-    s = fx - ix
-    t = fy - iy
+    if loc.uniform:
+        fx = (px - x0) / hx
+        fy = (py - y0) / hy
+        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
+        s = fx - ix
+        t = fy - iy
+    else:
+        # locally-graded tensor grid: interval by searchsorted (side=right
+        # keeps grid-line points in the right-hand square, matching the
+        # floor semantics of the uniform path)
+        ix = jnp.clip(jnp.searchsorted(loc.xs_lines, px, side="right") - 1,
+                      0, nx - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.searchsorted(loc.ys_lines, py, side="right") - 1,
+                      0, ny - 1).astype(jnp.int32)
+        s = (px - loc.xs_lines[ix]) / (loc.xs_lines[ix + 1]
+                                       - loc.xs_lines[ix])
+        t = (py - loc.ys_lines[iy]) / (loc.ys_lines[iy + 1]
+                                       - loc.ys_lines[iy])
     if loc.diagonal == "right":
         which = (t > s).astype(jnp.int32)       # tri1 is above the v00-v11 diagonal
     else:

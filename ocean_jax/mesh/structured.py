@@ -61,6 +61,16 @@ class Mesh2D:
     extent: Tuple[float, float, float, float]   # xmin, ymin, xmax, ymax
     lshape_corner: Tuple[float, float] = (1.0, 1.0)  # inner corner (x, y)
     hole: Optional[Tuple[float, float, float]] = None  # (cx, cy, r) obstacle
+    # tensor-product grid lines; non-None ⇒ locally-graded (non-uniform)
+    # spacing, and point location switches to the searchsorted path
+    # (mesh/locate.py). Uniform meshes keep xs/ys = None and the O(1)
+    # closed-form locate.
+    xs: Optional[np.ndarray] = None      # (nx+1,) grid x-lines
+    ys: Optional[np.ndarray] = None      # (ny+1,) grid y-lines
+
+    @property
+    def uniform(self) -> bool:
+        return self.xs is None
 
     @property
     def num_vertices(self) -> int:
@@ -199,7 +209,7 @@ def _build_topology(vertices: np.ndarray, cells: np.ndarray):
 
 def _finalize(vertices, cells, square_to_cell, origin, spacing, grid_shape,
               diagonal, domain, extent, lshape_corner=(1.0, 1.0),
-              hole=None) -> Mesh2D:
+              hole=None, xs=None, ys=None) -> Mesh2D:
     # enforce CCW orientation
     v = vertices[cells]
     det = ((v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
@@ -224,7 +234,32 @@ def _finalize(vertices, cells, square_to_cell, origin, spacing, grid_shape,
         extent=extent,
         lshape_corner=lshape_corner,
         hole=hole,
+        xs=xs,
+        ys=ys,
     )
+
+
+def graded_lines(a: float, b: float, center: float, lc_min: float,
+                 lc_max: float, dist_min: float, dist_max: float
+                 ) -> np.ndarray:
+    """1-D grid lines with gmsh-style distance-threshold size control
+    (``old_dolfinx_files/mesh_init.py:145-165``): local spacing lc_min
+    within ``dist_min`` of ``center``, ramping linearly to lc_max at
+    ``dist_max``. March from ``a`` stepping by the local size, then snap
+    the last line to ``b`` (dropping it if the final interval would
+    degenerate below lc_min/2)."""
+    pts = [a]
+    x = a
+    while x < b - 1e-12:
+        d = abs(x - center)
+        f = min(max((d - dist_min) / (dist_max - dist_min), 0.0), 1.0)
+        x = min(x + lc_min + (lc_max - lc_min) * f, b)
+        pts.append(x)
+    arr = np.asarray(pts)
+    if len(arr) > 2 and arr[-1] - arr[-2] < 0.5 * lc_min:
+        arr = np.delete(arr, -2)
+    arr[-1] = b
+    return arr
 
 
 def rectangle_mesh(p0: Tuple[float, float], p1: Tuple[float, float],
@@ -284,7 +319,8 @@ PIPE_OBSTACLE_MARKER = 3
 
 
 def pipe_mesh(resolution: int = 22, obstacle: bool = False,
-              diagonal: str = "right"):
+              diagonal: str = "right", graded: bool = False,
+              lc_min: float = None, lc_max: float = None):
     """Pipe domain [0,2]×[0,2] with tagged boundaries and an optional
     circular obstacle — the capability of gen-1's gmsh pipe meshing
     (``old_dolfinx_files/mesh_init.py:95-194``): inlet = {x=0} ∪ {x=L}
@@ -293,30 +329,55 @@ def pipe_mesh(resolution: int = 22, obstacle: bool = False,
 
     Returns (mesh, facet_tags). ``resolution`` = squares along each axis
     (gmsh used MeshSizeMax 0.09 ≈ 2/22).
+
+    ``graded=True`` reproduces gmsh's distance-field size control
+    (``mesh_init.py:145-165``): tensor-product grid lines from
+    ``graded_lines`` with LcMin = r/3 within distance r of the obstacle
+    center, ramping to LcMax = MeshSizeMax = 0.09 at distance 2H — the
+    obstacle boundary layer is resolved ~6× finer than the far field
+    without paying the uniform-fine dof count. Point location switches to
+    the searchsorted path (the ODE/PointSource layers work unchanged).
     """
     L = H = 2.0
     c_x = c_y = 0.2
     r = 0.05
     n = resolution
-    xs = np.linspace(0.0, L, n + 1)
-    ys = np.linspace(0.0, H, n + 1)
+    if graded:
+        # gmsh defaults: LcMin = r/3, MeshSizeMax cap (:171); overridable
+        # (coarser grids keep the grading structure at test-friendly size)
+        if lc_min is None:
+            lc_min = r / 3
+        if lc_max is None:
+            lc_max = min(0.25 * H, 0.09)
+        xs = graded_lines(0.0, L, c_x, lc_min, lc_max, r, 2 * H)
+        ys = graded_lines(0.0, H, c_y, lc_min, lc_max, r, 2 * H)
+    else:
+        xs = np.linspace(0.0, L, n + 1)
+        ys = np.linspace(0.0, H, n + 1)
+    nx, ny = len(xs) - 1, len(ys) - 1
     cx = 0.5 * (xs[:-1] + xs[1:])[None, :]
     cy = 0.5 * (ys[:-1] + ys[1:])[:, None]
-    active = np.ones((n, n), dtype=bool)
+    active = np.ones((ny, nx), dtype=bool)
     hole = None
     if obstacle:
         # remove every square that intersects the disk (distance from the
-        # disk center to the square < r)
-        hx, hy = L / n, H / n
-        dx = np.maximum(np.abs(cx - c_x) - hx / 2, 0.0)
-        dy = np.maximum(np.abs(cy - c_y) - hy / 2, 0.0)
+        # disk center to the square < r); per-square half-widths handle
+        # the graded case
+        hwx = 0.5 * np.diff(xs)[None, :]
+        hwy = 0.5 * np.diff(ys)[:, None]
+        dx = np.maximum(np.abs(cx - c_x) - hwx, 0.0)
+        dy = np.maximum(np.abs(cy - c_y) - hwy, 0.0)
         active &= (dx ** 2 + dy ** 2) >= r ** 2
         hole = (c_x, c_y, r)
     vertices, cells, s2c = _triangulate(active, xs, ys, diagonal)
     mesh = _finalize(vertices, cells, s2c, origin=(0.0, 0.0),
-                     spacing=(L / n, H / n), grid_shape=(n, n),
+                     spacing=(float(np.diff(xs).max()),
+                              float(np.diff(ys).max())),
+                     grid_shape=(nx, ny),
                      diagonal=diagonal, domain="pipe",
-                     extent=(0.0, 0.0, L, H), hole=hole)
+                     extent=(0.0, 0.0, L, H), hole=hole,
+                     xs=(xs if graded else None),
+                     ys=(ys if graded else None))
     eps = 1e-12
     tags = np.full(mesh.bf_vertices.shape[0], -1, dtype=np.int64)
     tags = mark_boundary_facets(

@@ -63,6 +63,10 @@ def make_grideval(space: TaylorHoodSpace) -> GridEval:
     scattered image and are never read by an unmasked evaluation.
     """
     loc = space.locator
+    if not loc.uniform:
+        raise ValueError(
+            "grid/pallas ODE backends need a uniform structured mesh; "
+            "locally-graded meshes use the gather backend")
     nx, ny = loc.grid_shape
     x0, y0 = loc.origin
     hx, hy = loc.spacing
