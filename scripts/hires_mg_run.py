@@ -57,18 +57,29 @@ def run_gd(prob, f, lr, iters, fh, tag, line_search=False):
     return js, times, newton_iters
 
 
-def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None):
+def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
+                  line_search=False, cfg=None):
     """Stage-separated GD iteration (forward / adjoint / update as three
     XLA programs). The fused Nx=64 gd_step reproducibly crashes the
     remote-compile worker (known large-HLO failure mode); the staged path
     compiles each sub-program separately — same math, same records.
 
+    ``line_search=True``: host-side Armijo backtracking with the
+    reference's semantics (``OCP_dolfin.py:386-415``: LR never resets
+    between outer iterations) — at Nx≥64 the fixed-LR limits default
+    overshoots (observed J 1.17 → 361 at lr=1), so the hi-res study runs
+    with the OCP pipeline's line search instead. Each probe is one
+    bounded forward program (tunnel-crash friendly).
+
     ``state_path``: crash-resume checkpoint — the tunneled TPU worker can
-    die mid-run; each completed iteration persists (control, J, timing)
-    so a relaunched process continues where the last one stopped."""
+    die mid-run; each completed iteration persists (control, LR, J,
+    timing) so a relaunched process continues where the last one
+    stopped."""
     import jax.numpy as jnp
+    from ocean_jax import control as ctrl_mod
     from ocean_jax.control import Control
     from ocean_jax import system as sys_mod
+    lr = float(lr)
     js, times, newton_iters = [], [], []
     start = 0
     if state_path and os.path.exists(state_path):
@@ -77,14 +88,32 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None):
         js = list(st["js"])
         times = list(st["times"])
         newton_iters = [int(v) for v in st["newton_iters"]]
+        if "lr" in st.files:
+            lr = float(st["lr"])
         start = len(js)
-        log(f"{tag}: resuming at iteration {start}", fh)
+        log(f"{tag}: resuming at iteration {start} (lr={lr:g})", fh)
     for i in range(start, iters):
         t0 = time.time()
         fwd = sys_mod.forward(prob, f.quad)
         z = sys_mod.solve_adjoint(prob, fwd)
         g = sys_mod.reduced_gradient(prob, f, z)
-        f_new = f.axpy(-float(lr), g)
+        if line_search:
+            df = Control(-g.quad, -g.p2)
+            gradj = float(ctrl_mod.boundary_inner(prob.bq, g, df))
+            cond = -(cfg.c_armijo if cfg else 1e-4) * gradj
+            tau = cfg.tau if cfg else 0.5
+            lr_min = cfg.LR_MIN if cfg else 1e-8
+            j_old = float(sys_mod.cost(prob, fwd.u_values, f.quad))
+            for inner in range(15):
+                f_ls = f.quad + lr * df.quad
+                fwd_ls = sys_mod.forward(prob, f_ls)
+                j_new = float(sys_mod.cost(prob, fwd_ls.u_values, f_ls))
+                if j_old - j_new >= lr * cond:
+                    break
+                lr = max(tau * lr, lr_min)
+            log(f"{tag} it={i} line search accepted lr={lr:g} "
+                f"({inner + 1} probes)", fh)
+        f_new = f.axpy(-lr, g)
         j = float(sys_mod.cost(prob, fwd.u_values, f_new.quad))
         dt = time.time() - t0
         assert np.isfinite(j), f"{tag}: non-finite J at iteration {i}"
@@ -101,7 +130,8 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None):
             np.savez(state_path, quad=np.asarray(f.quad),
                      p2=np.asarray(f.p2), js=np.asarray(js),
                      times=np.asarray(times),
-                     newton_iters=np.asarray(newton_iters))
+                     newton_iters=np.asarray(newton_iters),
+                     lr=np.asarray(lr))
     return js, times, newton_iters
 
 
@@ -164,7 +194,8 @@ def main():
         if args.staged:
             js, times, nit = run_gd_staged(
                 prob, f, args.lr, args.iters, fh, f"nx{nx}",
-                state_path=os.path.join(OUT, f"state_nx{nx}.npz"))
+                state_path=os.path.join(OUT, f"state_nx{nx}.npz"),
+                line_search=args.line_search, cfg=cfg)
         else:
             js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
                                     args.iters, fh, f"nx{nx}",
