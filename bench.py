@@ -51,7 +51,11 @@ def _build(k_experiment=K_EXPERIMENT):
     from ocean_jax.pipelines.limits import ensure_ud
 
     cfg = OCPConfig(ud_experiment=k_experiment, unit_square_resolution=32,
-                    use_line_search=False, num_steps=1)
+                    use_line_search=False, num_steps=1,
+                    # fused Pallas primal-ODE kernel: verified on hardware
+                    # bit-equal in J and 7e-15 in trajectories vs the f64
+                    # gather backend, 11% faster per GD iteration
+                    ode_backend="pallas")
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "data", "ud")
     u_d, x0 = ensure_ud(cfg, cache_dir=cache)

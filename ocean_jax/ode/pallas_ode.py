@@ -48,6 +48,33 @@ _EPS = 1e-12      # boundary-inclusive slack, mesh/locate.py:_EPS
 _BLOCK = 256
 
 
+def _register_mosaic_barrier_lowering():
+    """Mosaic has no lowering for ``optimization_barrier`` (the EFT guard
+    used by ``ops/doublesingle.py``); register an identity rule so the
+    kernel compiles. Inside Mosaic the barrier is unnecessary: the Mosaic
+    → TPU compilation is IEEE-literal (no FMA contraction, no algebraic
+    re-association of the XLA-simplifier kind), verified on hardware by
+    ``tests/test_ode_backends.py``'s f64-parity checks and the in-kernel
+    EFT probe (two_prod/two_sum exact vs host f64)."""
+    try:
+        from jax._src.lax.lax import optimization_barrier_p as _ob
+        from jax._src.pallas.mosaic import lowering as _ml
+    except ImportError:                              # pragma: no cover
+        return
+    try:
+        registered = any(_ob in rules
+                         for rules in _ml.lowering_rules.values())
+        if not registered:
+            @_ml.register_lowering_rule(_ob)
+            def _barrier_identity(ctx, *args):       # noqa: ANN001
+                return list(args)
+    except Exception:                                # pragma: no cover
+        pass
+
+
+_register_mosaic_barrier_lowering()
+
+
 def _vert(l):
     """Vertex P2 basis value λ(2λ−1) in ds."""
     return ds.mul(l, ds.add_f32(ds.scale_exact(l, np.float32(2.0)),
@@ -151,12 +178,20 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
             """fx = (p − origin)/h → (int index clamped, local ds coord)."""
             fx = ds.div(ds.sub(p, C(origin_c)), C(spacing_c))
             ixf, frac = ds.floor(fx)
-            d = jnp.clip(ixf, 0.0, float(n - 1))
+            d = jnp.clip(ixf, np.float32(0.0), np.float32(n - 1))
             s = ds.add_f32(frac, ixf - d)        # exact small-int shift
             return d.astype(jnp.int32), s
 
         def step(k, carry):
-            pxh, pxl, pyh, pyl, failed, kfail = carry
+            # NOTE: the fori_loop index ``k`` is int64 under x64 — a dtype
+            # Mosaic cannot represent (its i32→i64 convert fallback even
+            # recurses infinitely at lowering). Carry an explicit int32
+            # step counter instead and never touch ``k``.
+            del k
+            pxh, pxl, pyh, pyl, failed_i, kfail, kc = carry
+            # bool (i1) vector loop carries fail Mosaic's scf.for
+            # legalization — carry 0/1 int32 and compare at use
+            failed = failed_i > 0
             px, py = (pxh, pxl), (pyh, pyl)
 
             # --- inside-domain predicate (mesh/locate.py::in_domain) ----
@@ -187,6 +222,11 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
             R = jax.lax.dot_general(
                 planes_ref[:], onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
+                # HIGHEST: the default MXU precision truncates the f32
+                # operand to bf16, so the "exact" 1.0·x row selection
+                # loses mantissa (measured 1.4e-4 trajectory error on
+                # hardware); full-f32 passes keep it exact
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)        # (4·Hxp, 3·block)
 
             gx0 = 2 * ix
@@ -211,7 +251,7 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
             # --- escape bookkeeping (ode/primal.py step) -----------------
             fail_now = (~inside) & (~failed)
             failed_new = failed | (~inside)
-            kfail = jnp.where(fail_now, k, kfail)
+            kfail = jnp.where(fail_now, kc, kfail)
             zero_ds = ds.from_f32(zf)
             newx = ds.where(failed_new, px,
                             ds.add(px, ds.mul(C(hc), uv[0])))
@@ -220,22 +260,27 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
             recx = ds.where(failed_new, zero_ds, uv[0])
             recy = ds.where(failed_new, zero_ds, uv[1])
 
-            us_h_ref[pl.ds(k, 1), :] = recx[0]
-            us_h_ref[pl.ds(nt + k, 1), :] = recy[0]
-            us_l_ref[pl.ds(k, 1), :] = recx[1]
-            us_l_ref[pl.ds(nt + k, 1), :] = recy[1]
-            xs_h_ref[pl.ds(k + 1, 1), :] = newx[0]
-            xs_h_ref[pl.ds(nt + k + 1, 1), :] = newy[0]
-            xs_l_ref[pl.ds(k + 1, 1), :] = newx[1]
-            xs_l_ref[pl.ds(nt + k + 1, 1), :] = newy[1]
-            return (newx[0], newx[1], newy[0], newy[1], failed_new, kfail)
+            us_h_ref[pl.ds(kc, 1), :] = recx[0]
+            us_h_ref[pl.ds(nt + kc, 1), :] = recy[0]
+            us_l_ref[pl.ds(kc, 1), :] = recx[1]
+            us_l_ref[pl.ds(nt + kc, 1), :] = recy[1]
+            xs_h_ref[pl.ds(kc + 1, 1), :] = newx[0]
+            xs_h_ref[pl.ds(nt + kc + 1, 1), :] = newy[0]
+            xs_l_ref[pl.ds(kc + 1, 1), :] = newx[1]
+            xs_l_ref[pl.ds(nt + kc + 1, 1), :] = newy[1]
+            return (newx[0], newx[1], newy[0], newy[1],
+                    failed_new.astype(jnp.int32), kfail, kc + 1)
 
         init = (x0h_ref[0:1, :], x0l_ref[0:1, :],
                 x0h_ref[1:2, :], x0l_ref[1:2, :],
-                jnp.zeros(shape, jnp.bool_),
-                jnp.full(shape, nt, jnp.int32))
-        _, _, _, _, failed, kfail = jax.lax.fori_loop(0, nt - 1, step, init)
-        failed_ref[:] = failed.astype(jnp.int32)
+                jnp.zeros(shape, jnp.int32),
+                jnp.full(shape, nt, jnp.int32),
+                jnp.zeros((), jnp.int32))
+        # int32 loop bounds: python-int bounds give an i64 induction
+        # variable under x64, which Mosaic cannot legalize
+        _, _, _, _, failed_i, kfail, _ = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nt - 1), step, init)
+        failed_ref[:] = failed_i
         kfail_ref[:] = kfail
 
     return kernel
@@ -287,17 +332,20 @@ def _run_pallas_ode(grid: GridEval, u_img: jnp.ndarray, x0: jnp.ndarray,
         jax.ShapeDtypeStruct((1, Kp), jnp.int32),          # failed
         jax.ShapeDtypeStruct((1, Kp), jnp.int32),          # kfail
     ]
-    buoy_spec = pl.BlockSpec((2, _BLOCK), lambda i: (0, i),
+    # index-map constants must be int32: python-int literals trace to i64
+    # under x64 and the index-map func then fails Mosaic legalization
+    zero = np.int32(0)
+    buoy_spec = pl.BlockSpec((2, _BLOCK), lambda i: (zero, i),
                              memory_space=pltpu.VMEM)
-    time_spec = pl.BlockSpec((2 * nt, _BLOCK), lambda i: (0, i),
+    time_spec = pl.BlockSpec((2 * nt, _BLOCK), lambda i: (zero, i),
                              memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((1, _BLOCK), lambda i: (0, i),
+    flag_spec = pl.BlockSpec((1, _BLOCK), lambda i: (zero, i),
                              memory_space=pltpu.VMEM)
     xs_h, xs_l, us_h, us_l, failed, kfail = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[buoy_spec, buoy_spec,
-                  pl.BlockSpec((4 * Hxp, Hy), lambda i: (0, 0),
+                  pl.BlockSpec((4 * Hxp, Hy), lambda i: (zero, zero),
                                memory_space=pltpu.VMEM)],
         out_specs=[time_spec, time_spec, time_spec, time_spec,
                    flag_spec, flag_spec],

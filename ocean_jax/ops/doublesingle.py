@@ -167,7 +167,11 @@ def floor(x):
     # full ds value, not just the hi word (frac can be (1.0, −1e-12) < 1)
     over = (frac[0] > 1.0) | ((frac[0] == 1.0) & (frac[1] >= 0.0))
     under = (frac[0] < 0.0) | ((frac[0] == 0.0) & (frac[1] < 0.0))
-    f = f + jnp.where(over, 1.0, 0.0) - jnp.where(under, 1.0, 0.0)
-    shift = jnp.where(over, -1.0, jnp.where(under, 1.0, 0.0))
+    # strong-f32 select constants: python-float literals are weak f64
+    # under x64 and would materialize f64 selects — fatal inside Mosaic
+    # kernels (no 64-bit layouts)
+    one, zero = np.float32(1.0), np.float32(0.0)
+    f = f + jnp.where(over, one, zero) - jnp.where(under, one, zero)
+    shift = jnp.where(over, -one, jnp.where(under, one, zero))
     s, e = two_sum(frac[0], shift)       # the carry can round: keep its error
     return f, fast_two_sum(s, e + frac[1])
