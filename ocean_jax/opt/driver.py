@@ -79,6 +79,9 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
         escape_threshold = prob.K / 2
     if df is None:
         df = sys_mod.fd_direction(prob)      # OCP_dolfin.py:148
+    # raised scoped-VMEM jits for large dense problems (e.g. L-shape
+    # resolution 50: 17.4k dofs OOMs the default-limit LU)
+    forward_fn, adjoint_fn = sys_mod.stage_fns(prob)
 
     lr = cfg.LR
     j_array: List[float] = []
@@ -98,7 +101,7 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
             print(f"Gradient descent iteration: {i}")
         t_outer = time.time()
         fwd = (fwd_next if fwd_next is not None
-               else sys_mod.forward(prob, f.quad))
+               else forward_fn(prob, f.quad))
         fwd_next = None
         if (prob.newton_reuse_lu
                 and not bool(jnp.isfinite(fwd.newton.residual_norm))):
@@ -107,9 +110,9 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
             if verbose:
                 print("fast-path Newton diverged; re-solving with "
                       "fresh factorizations")
-            fwd = sys_mod.forward(
+            fwd = forward_fn(
                 dataclasses.replace(prob, newton_reuse_lu=False), f.quad)
-        z = sys_mod.solve_adjoint(prob, fwd)
+        z = adjoint_fn(prob, fwd)
         g = sys_mod.reduced_gradient(prob, f, z)
         _sync((fwd.w, z, g.quad))
         outer_times.append(time.time() - t_outer)
@@ -143,7 +146,7 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
                 inner += 1
                 j_old = float(sys_mod.cost(prob, fwd.u_values, f.quad))
                 f_ls_quad = f.quad + lr * df.quad
-                fwd_ls = sys_mod.forward(prob, f_ls_quad)
+                fwd_ls = forward_fn(prob, f_ls_quad)
                 j_new = float(sys_mod.cost(prob, fwd_ls.u_values, f_ls_quad))
                 if j_old - j_new >= lr * cond:
                     if reuse_ls_forward:

@@ -289,8 +289,7 @@ def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
                         reuse_factorization=prob.newton_reuse_lu)
 
 
-@jax.jit
-def forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
+def _forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
     """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``).
 
     The primal ODE runs on the configured ``ode_backend``: the index-table
@@ -312,6 +311,9 @@ def forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
                         ode.x_raw, ode.kfail)
 
 
+forward = jax.jit(_forward)
+
+
 @jax.jit
 def cost(prob: OCPProblem, u_values: jnp.ndarray,
          f_quad: jnp.ndarray) -> jnp.ndarray:
@@ -325,8 +327,7 @@ def cost(prob: OCPProblem, u_values: jnp.ndarray,
     return part_a + part_b
 
 
-@jax.jit
-def solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+def _solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
     """∇u projection + adjoint ODE + point-source RHS + adjoint NS solve
     (``OCP_dolfin.py:328-371``). Returns the mixed adjoint state z.
 
@@ -370,6 +371,9 @@ def solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
                           refine_iters=prob.refine_iters)
 
 
+solve_adjoint = jax.jit(_solve_adjoint)
+
+
 def reduced_gradient(prob: OCPProblem, f: Control,
                      z: jnp.ndarray) -> Control:
     """g = αf − z restricted to Γ₁ (``OCP_dolfin.py:379,387,426``)."""
@@ -406,6 +410,32 @@ def _vjp_matvec_t(op, x):
 # Raising the limit unlocks Nx≈48-56 (measured: Nx=48 LU compiles and runs
 # at 64 MB; v5e VMEM is 128 MB physical).
 LARGE_SOLVE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+# staged-driver variants with the raised limit (the plain ``forward``/
+# ``solve_adjoint`` jits hit the default 16 MB cap at ~15.6k mixed dofs —
+# observed: L-shape resolution 50, ndof=17378, "Ran out of memory in
+# memory space vmem ... LuDecompositionBlock 17.05M > 16.00M")
+forward_hires = jax.jit(_forward,
+                        compiler_options=LARGE_SOLVE_COMPILER_OPTIONS)
+solve_adjoint_hires = jax.jit(_solve_adjoint,
+                              compiler_options=LARGE_SOLVE_COMPILER_OPTIONS)
+
+
+def needs_raised_vmem(prob: OCPProblem) -> bool:
+    """Dense direct solves beyond ~15k mixed dofs need the raised
+    scoped-VMEM limit on TPU (the mg path never stages a fine LU)."""
+    return (jax.default_backend() == "tpu"
+            and prob.linear_solver != "mg"
+            and prob.space.ndof > 15000)
+
+
+def stage_fns(prob: OCPProblem):
+    """(forward, solve_adjoint) jitted appropriately for the problem
+    size/backend — the host driver and grad-check probes route through
+    this so large dense problems get the raised scoped-VMEM limit."""
+    if needs_raised_vmem(prob):
+        return forward_hires, solve_adjoint_hires
+    return forward, solve_adjoint
 
 
 def make_high_resolution_step(prob: OCPProblem, **gd_kwargs):
