@@ -422,11 +422,15 @@ solve_adjoint_hires = jax.jit(_solve_adjoint,
 
 
 def needs_raised_vmem(prob: OCPProblem) -> bool:
-    """Dense direct solves beyond ~15k mixed dofs need the raised
-    scoped-VMEM limit on TPU (the mg path never stages a fine LU)."""
-    return (jax.default_backend() == "tpu"
-            and prob.linear_solver != "mg"
-            and prob.space.ndof > 15000)
+    """Dense direct solves beyond ~15k dofs need the raised scoped-VMEM
+    limit on TPU (the LU panel is n·1024 bytes vs the 16 MB default).
+    The mg path stages no fine LU, but its coarse velocity LU hits the
+    same cap once the coarse grid passes ~15k velocity dofs (Nx≥96)."""
+    if jax.default_backend() != "tpu":
+        return False
+    if prob.linear_solver != "mg":
+        return prob.space.ndof > 15000
+    return 2 * prob.mg.space_c.n_p2 > 15000
 
 
 def stage_fns(prob: OCPProblem):

@@ -79,6 +79,7 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
     from ocean_jax import control as ctrl_mod
     from ocean_jax.control import Control
     from ocean_jax import system as sys_mod
+    forward_fn, adjoint_fn = sys_mod.stage_fns(prob)
     lr = float(lr)
     js, times, newton_iters = [], [], []
     start = 0
@@ -94,8 +95,8 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
         log(f"{tag}: resuming at iteration {start} (lr={lr:g})", fh)
     for i in range(start, iters):
         t0 = time.time()
-        fwd = sys_mod.forward(prob, f.quad)
-        z = sys_mod.solve_adjoint(prob, fwd)
+        fwd = forward_fn(prob, f.quad)
+        z = adjoint_fn(prob, fwd)
         g = sys_mod.reduced_gradient(prob, f, z)
         if line_search:
             df = Control(-g.quad, -g.p2)
@@ -106,7 +107,7 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             j_old = float(sys_mod.cost(prob, fwd.u_values, f.quad))
             for inner in range(15):
                 f_ls = f.quad + lr * df.quad
-                fwd_ls = sys_mod.forward(prob, f_ls)
+                fwd_ls = forward_fn(prob, f_ls)
                 j_new = float(sys_mod.cost(prob, fwd_ls.u_values, f_ls))
                 if j_old - j_new >= lr * cond:
                     break
