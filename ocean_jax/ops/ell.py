@@ -1,0 +1,128 @@
+"""Scatter-free ELL matvec for the matrix-free Krylov path.
+
+The mg/FGMRES solves apply the assembled operator as
+gather → element einsum → **scatter-add** (``fem/assemble.py::matvec64``,
+``solve/mg.py::op_matvec``). TPU scatter serializes on colliding
+addresses, and one Nx=64 Newton solve issues ~10³ matvecs through the
+Krylov loop — the scatters dominate the measured 80 s/iteration.
+
+TPU-first replacement: precompute, once per topology (host-side numpy), a
+row-major incidence table — for each global dof row ``i`` the full list of
+(element-matrix entry, column dof) pairs that accumulate into it. The
+matvec is then three *gathers* and a row reduction:
+
+    y[i] = Σ_s  values_flat[src[i, s]] · x[col[i, s]]
+
+with ``values_flat = concat(cell_mats.ravel(), facet_mats.ravel())``
+rebuilt per operator state by a free reshape. No scatter anywhere; every
+memory access pattern is static. Padding slots point at a zero sentinel
+appended to ``values_flat`` (no branch, no mask multiply).
+
+Used by ``solve/mg.py`` (vcycle smoothing, FGMRES matvecs, refinement
+residuals); built in ``system.build_problem`` for the fine mixed operator
+and its velocity block. Reference context: this replaces what PETSc's CSR
+``MatMult`` does inside KSP (``OCP_dolfin.py:325,371``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ELLTables:
+    """Static row-major incidence tables for one (cell_dofs, facet_dofs)
+    topology. ``src`` indexes into the per-state flat values array (with
+    the zero sentinel at index ``n_vals``); ``col`` is the column dof of
+    each slot (0 for padding — the sentinel value is 0 so the product
+    vanishes)."""
+
+    src: jnp.ndarray        # (n, S) int32 into values_flat (incl. sentinel)
+    col: jnp.ndarray        # (n, S) int32 column dofs
+    bc_mask: jnp.ndarray    # (n,) bool — Dirichlet (identity) rows
+    n_cell_vals: int        # cell_mats.size (facet entries follow)
+    n_vals: int             # total non-sentinel values
+
+    def tree_flatten(self):
+        return ((self.src, self.col, self.bc_mask),
+                (self.n_cell_vals, self.n_vals))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_ell_tables(cell_dofs: np.ndarray, facet_dofs, n: int,
+                     bc_dofs: np.ndarray) -> ELLTables:
+    """Host-side one-time construction (vectorized numpy).
+
+    cell_dofs: (nc, A); facet_dofs: (nf, B) or None. Element matrices are
+    laid out row-major: cell entry (c, a, b) is flat index c·A² + a·A + b;
+    facet entry (f, a, b) follows at n_cell_vals + f·B² + a·B + b.
+    """
+    cell_dofs = np.asarray(cell_dofs)
+    nc, A = cell_dofs.shape
+    rows = [np.repeat(cell_dofs, A, axis=1).ravel()]          # (nc·A·A,)
+    cols = [np.tile(cell_dofs, (1, A)).ravel()]
+    srcs = [np.arange(nc * A * A, dtype=np.int64)]
+    n_cell_vals = nc * A * A
+    n_vals = n_cell_vals
+    if facet_dofs is not None:
+        facet_dofs = np.asarray(facet_dofs)
+        nf, B = facet_dofs.shape
+        rows.append(np.repeat(facet_dofs, B, axis=1).ravel())
+        cols.append(np.tile(facet_dofs, (1, B)).ravel())
+        srcs.append(n_cell_vals + np.arange(nf * B * B, dtype=np.int64))
+        n_vals += nf * B * B
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    srcs = np.concatenate(srcs)
+
+    order = np.argsort(rows, kind="stable")
+    rows_s, cols_s, srcs_s = rows[order], cols[order], srcs[order]
+    counts = np.bincount(rows_s, minlength=n)
+    S = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(rows_s)) - starts[rows_s]            # within-row
+
+    src_t = np.full((n, S), n_vals, dtype=np.int64)           # sentinel
+    col_t = np.zeros((n, S), dtype=np.int64)
+    src_t[rows_s, slot] = srcs_s
+    col_t[rows_s, slot] = cols_s
+
+    bc_mask = np.zeros(n, dtype=bool)
+    bc_mask[np.asarray(bc_dofs)] = True
+    return ELLTables(src=jnp.asarray(src_t, jnp.int32),
+                     col=jnp.asarray(col_t, jnp.int32),
+                     bc_mask=jnp.asarray(bc_mask),
+                     n_cell_vals=n_cell_vals, n_vals=n_vals)
+
+
+def ell_values(ell: ELLTables, cell_mats: jnp.ndarray, facet_mats,
+               dtype) -> jnp.ndarray:
+    """Per-operator-state flat values array (+ the zero sentinel)."""
+    parts = [cell_mats.astype(dtype).reshape(-1)]
+    if facet_mats is not None:
+        parts.append(facet_mats.astype(dtype).reshape(-1))
+    parts.append(jnp.zeros((1,), dtype))
+    return jnp.concatenate(parts)
+
+
+def ell_matvec_fn(ell: ELLTables, op, dtype):
+    """Build x ↦ Ax for an ``fem.assemble.Operator`` state at ``dtype``.
+    Matches ``op_matvec``/``matvec64`` (identity rows on Dirichlet dofs)
+    to roundoff; all-gather memory access, no scatter."""
+    vals = ell_values(ell, op.cell_mats, op.facet_mats, dtype)
+    a = vals[ell.src]                          # (n, S) static gather
+
+    def mv(x):
+        x = x.astype(dtype)
+        y = jnp.einsum("ns,ns->n", a, x[ell.col])
+        return jnp.where(ell.bc_mask, x, y)
+
+    return mv

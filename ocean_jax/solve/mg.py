@@ -44,6 +44,7 @@ from ..fem.spaces import TaylorHoodSpace, BoundaryQuad
 from ..mesh.locate import locate_points
 from ..fem import reference as ref
 from ..ops import linalg
+from ..ops.ell import ELLTables, build_ell_tables, ell_matvec_fn
 from . import krylov
 from .newton import NewtonResult
 
@@ -130,31 +131,53 @@ class MGContext:
     inj_w: jnp.ndarray             # (n_c2, 6)
     pm_inv: jnp.ndarray            # (n_f1,) Ŝ⁻¹ = ν / lumped pressure mass
     nu: float
+    # scatter-free ELL incidence tables for the fine mixed operator and
+    # its velocity block (ops/ell.py); None → element scatter matvecs
+    ell_mixed: Optional[ELLTables] = None
+    ell_vel: Optional[ELLTables] = None
 
     def tree_flatten(self):
         return ((self.space_c, self.bq_c, self.bc_dofs_c, self.pro_dofs,
-                 self.pro_w, self.inj_dofs, self.inj_w, self.pm_inv),
+                 self.pro_w, self.inj_dofs, self.inj_w, self.pm_inv,
+                 self.ell_mixed, self.ell_vel),
                 (self.nu,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *head, ell_mixed, ell_vel = children
+        return cls(*head, *aux, ell_mixed=ell_mixed, ell_vel=ell_vel)
 
 
 def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
                      bq_c: Optional[BoundaryQuad], bc_dofs_c: jnp.ndarray,
-                     nu: float) -> MGContext:
+                     nu: float, bq_f: Optional[BoundaryQuad] = None,
+                     bc_dofs_f=None) -> MGContext:
     """Build the transfer tables between an existing fine and coarse space
-    (both over the same domain; the coarse mesh need not be nested)."""
+    (both over the same domain; the coarse mesh need not be nested).
+
+    When the fine boundary quad + Dirichlet dofs are given, also builds
+    the scatter-free ELL incidence tables for the fine mixed operator and
+    its velocity block — the Krylov matvecs then run gather-only (TPU
+    scatter-adds serialize on colliding dofs and dominated the Nx=64
+    solve time)."""
     pro_dofs, pro_w = _p2_interpolation_table(
         space_c, np.asarray(space_f.dof_coords_p2))
     inj_dofs, inj_w = _p2_interpolation_table(
         space_f, np.asarray(space_c.dof_coords_p2))
     pm = krylov.pressure_mass_lumped(space_f, nu)
+    ell_mixed = ell_vel = None
+    if bq_f is not None and bc_dofs_f is not None:
+        cd = np.asarray(space_f.cell_dofs_mixed)
+        fd = cd[np.asarray(bq_f.cells)]          # assemble.py facet layout
+        bc_np = np.asarray(bc_dofs_f)
+        ell_mixed = build_ell_tables(cd, fd, space_f.ndof, bc_np)
+        ell_vel = build_ell_tables(cd[:, :12], fd[:, :12],
+                                   2 * space_f.n_p2, bc_np)
     return MGContext(space_c=space_c, bq_c=bq_c, bc_dofs_c=bc_dofs_c,
                      pro_dofs=pro_dofs, pro_w=pro_w,
                      inj_dofs=inj_dofs, inj_w=inj_w,
-                     pm_inv=1.0 / pm, nu=nu)
+                     pm_inv=1.0 / pm, nu=nu,
+                     ell_mixed=ell_mixed, ell_vel=ell_vel)
 
 
 def inject_state(mg: MGContext, space_f: TaylorHoodSpace,
@@ -209,8 +232,10 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     vel_f = velocity_block(op_mixed, n_vel)
     d = krylov.operator_diagonal(vel_f)
     dinv = (omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)).astype(dtype)
-    vel_mv = op_matvec(vel_f, dtype)
-    mixed_mv = op_matvec(op_mixed, dtype)
+    vel_mv = (ell_matvec_fn(mg.ell_vel, vel_f, dtype)
+              if mg.ell_vel is not None else op_matvec(vel_f, dtype))
+    mixed_mv = (ell_matvec_fn(mg.ell_mixed, op_mixed, dtype)
+                if mg.ell_mixed is not None else op_matvec(op_mixed, dtype))
 
     vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
     fac_c = linalg.factorize(vel_c.dense())
@@ -288,8 +313,15 @@ def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
     M32 = make_block_preconditioner(mg, space_f, op, op_c,
                                     dtype=jnp.float32)
-    mv64 = op.matvec64 if matvec_of is None else matvec_of(op)
-    mv32 = op_matvec(op, jnp.float32)
+    if matvec_of is not None:
+        mv64 = matvec_of(op)
+        mv32 = op_matvec(op, jnp.float32)
+    elif mg.ell_mixed is not None:
+        mv64 = ell_matvec_fn(mg.ell_mixed, op, jnp.float64)
+        mv32 = ell_matvec_fn(mg.ell_mixed, op, jnp.float32)
+    else:
+        mv64 = op.matvec64
+        mv32 = op_matvec(op, jnp.float32)
 
     bnorm = jnp.linalg.norm(b)
     target = tol * jnp.maximum(bnorm, 1e-300)
@@ -361,23 +393,31 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         not_conv = (rnorm > atol) & (rnorm > rtol * r0norm)
         return not_conv & (it < max_iter)
 
-    def body(state):
-        w, r, rnorm, it = state
-        op = operator_fn(w)
-        if matvec_of is None:
-            mv32 = op_matvec(op, jnp.float32)
-        else:
-            mv32 = matvec_of(op)
-        sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,
-                            restart=restart, max_restarts=max_restarts,
-                            tol=step_tol)
-        w = w + sol.x.astype(jnp.float64)
-        r = bc_residual(w)
-        return (w, r, jnp.linalg.norm(r), it + 1)
+    def make_body(tol):
+        def body(state):
+            w, r, rnorm, it = state
+            op = operator_fn(w)
+            if matvec_of is not None:
+                mv32 = matvec_of(op)
+            elif mg.ell_mixed is not None:
+                mv32 = ell_matvec_fn(mg.ell_mixed, op, jnp.float32)
+            else:
+                mv32 = op_matvec(op, jnp.float32)
+            sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,
+                                restart=restart, max_restarts=max_restarts,
+                                tol=tol)
+            w = w + sol.x.astype(jnp.float64)
+            r = bc_residual(w)
+            return (w, r, jnp.linalg.norm(r), it + 1)
+        return body
 
     w, r, rnorm, it = jax.lax.while_loop(
-        cond, body, (w0, r0, r0norm, jnp.asarray(0)))
+        cond, make_body(step_tol), (w0, r0, r0norm, jnp.asarray(0)))
     converged = (rnorm <= atol) | (rnorm <= rtol * r0norm)
+    # tighter Krylov tolerance in the polish steps (a handful of extra
+    # inner iterations, final solve only): keeps the dense-path 1e-9 w
+    # parity with a comfortable margin under any f32 matvec rounding
+    polish_body = make_body(min(step_tol, 1e-8))
     for _ in range(polish):
-        w, r, rnorm, it = body((w, r, rnorm, it))
+        w, r, rnorm, it = polish_body((w, r, rnorm, it))
     return NewtonResult(w, it, rnorm, converged)

@@ -173,7 +173,8 @@ def build_problem(cfg: OCPConfig,
         bq_c = make_boundary_quad(mesh_c, tags_c, tag=1)
         bc_dofs_c, _ = dirichlet_velocity_bc(mesh_c, space_c, g2c)
         mg_ctx = mg_mod.build_mg_context(space, space_c, bq_c, bc_dofs_c,
-                                         cfg.viscosity)
+                                         cfg.viscosity, bq_f=bq,
+                                         bc_dofs_f=bc_dofs)
 
     nt = cfg.num_time_steps
     if u_d is None or x0 is None:
