@@ -151,22 +151,23 @@ class MGContext:
 def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
                      bq_c: Optional[BoundaryQuad], bc_dofs_c: jnp.ndarray,
                      nu: float, bq_f: Optional[BoundaryQuad] = None,
-                     bc_dofs_f=None) -> MGContext:
+                     bc_dofs_f=None, use_ell: bool = False) -> MGContext:
     """Build the transfer tables between an existing fine and coarse space
     (both over the same domain; the coarse mesh need not be nested).
 
-    When the fine boundary quad + Dirichlet dofs are given, also builds
-    the scatter-free ELL incidence tables for the fine mixed operator and
-    its velocity block — the Krylov matvecs then run gather-only (TPU
-    scatter-adds serialize on colliding dofs and dominated the Nx=64
-    solve time)."""
+    ``use_ell=True`` additionally builds scatter-free ELL incidence tables
+    for the fine mixed operator and its velocity block (ops/ell.py) — an
+    alternative matvec for contexts where scatter is the bottleneck.
+    Measured on TPU v5e at Nx=64 the element scatter matvec is FASTER
+    (4.5 ms vs 31 ms: the (n, ~92) row gather doesn't vectorize), so the
+    default Krylov path keeps scatter matvecs and ELL is opt-in."""
     pro_dofs, pro_w = _p2_interpolation_table(
         space_c, np.asarray(space_f.dof_coords_p2))
     inj_dofs, inj_w = _p2_interpolation_table(
         space_f, np.asarray(space_c.dof_coords_p2))
     pm = krylov.pressure_mass_lumped(space_f, nu)
     ell_mixed = ell_vel = None
-    if bq_f is not None and bc_dofs_f is not None:
+    if use_ell and bq_f is not None and bc_dofs_f is not None:
         cd = np.asarray(space_f.cell_dofs_mixed)
         fd = cd[np.asarray(bq_f.cells)]          # assemble.py facet layout
         bc_np = np.asarray(bc_dofs_f)
@@ -227,22 +228,35 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     solves the coarse velocity block exactly (fp32 dense LU). ``dtype``
     sets the preconditioner arithmetic — float32 feeds the
     mixed-precision FGMRES production path."""
-    import jax.scipy.linalg as jsl
     n_vel = 2 * space_f.n_p2
     vel_f = velocity_block(op_mixed, n_vel)
     d = krylov.operator_diagonal(vel_f)
     dinv = (omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)).astype(dtype)
-    vel_mv = (ell_matvec_fn(mg.ell_vel, vel_f, dtype)
-              if mg.ell_vel is not None else op_matvec(vel_f, dtype))
-    mixed_mv = (ell_matvec_fn(mg.ell_mixed, op_mixed, dtype)
-                if mg.ell_mixed is not None else op_matvec(op_mixed, dtype))
+    # element scatter matvecs: measured FASTER than the ELL gather tables
+    # on TPU at Nx=64 (4.5 ms vs 31 ms — row gathers don't vectorize; the
+    # 19k-cell scatter does). ELL stays available for sharded callers.
+    vel_mv = op_matvec(vel_f, dtype)
+    mixed_mv = op_matvec(op_mixed, dtype)
 
+    # coarse solve as ONE f32 matmul: jnp.linalg.inv is computed once per
+    # program (loop-hoisted — the operator state doesn't change inside a
+    # solve) and each vcycle application becomes an MXU matmul instead of
+    # two sequential blocked triangular solves (measured: the lu_solve
+    # dominated the 145 ms preconditioner application). The inverse is a
+    # *preconditioner* component — f32 inversion error only costs Krylov
+    # iterations, never solution accuracy.
     vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
-    fac_c = linalg.factorize(vel_c.dense())
+    a_c = vel_c.dense()
+    ainv_c = jnp.linalg.inv(a_c)
+    # one Newton–Schulz step, X ← X(2I − AX): quadratically tightens the
+    # f32 inverse (explicit inversion alone left the ill-conditioned
+    # L-shape coarse solve too weak — Newton stalled at 1.3e-8 vs the
+    # 1e-12 the triangular-solve path reached); two one-time MXU matmuls
+    ainv_c = ainv_c + ainv_c @ (jnp.eye(a_c.shape[0], dtype=a_c.dtype)
+                                - a_c @ ainv_c)
 
     def coarse_solve(rc):
-        return jsl.lu_solve((fac_c.lu, fac_c.piv),
-                            rc.astype(jnp.float32)).astype(dtype)
+        return (ainv_c @ rc.astype(jnp.float32)).astype(dtype)
 
     bc_f = op_mixed.bc_dofs
     bc_c = mg.bc_dofs_c
@@ -313,15 +327,8 @@ def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
     M32 = make_block_preconditioner(mg, space_f, op, op_c,
                                     dtype=jnp.float32)
-    if matvec_of is not None:
-        mv64 = matvec_of(op)
-        mv32 = op_matvec(op, jnp.float32)
-    elif mg.ell_mixed is not None:
-        mv64 = ell_matvec_fn(mg.ell_mixed, op, jnp.float64)
-        mv32 = ell_matvec_fn(mg.ell_mixed, op, jnp.float32)
-    else:
-        mv64 = op.matvec64
-        mv32 = op_matvec(op, jnp.float32)
+    mv64 = op.matvec64 if matvec_of is None else matvec_of(op)
+    mv32 = op_matvec(op, jnp.float32)
 
     bnorm = jnp.linalg.norm(b)
     target = tol * jnp.maximum(bnorm, 1e-300)
@@ -397,12 +404,10 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         def body(state):
             w, r, rnorm, it = state
             op = operator_fn(w)
-            if matvec_of is not None:
-                mv32 = matvec_of(op)
-            elif mg.ell_mixed is not None:
-                mv32 = ell_matvec_fn(mg.ell_mixed, op, jnp.float32)
-            else:
+            if matvec_of is None:
                 mv32 = op_matvec(op, jnp.float32)
+            else:
+                mv32 = matvec_of(op)
             sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,
                                 restart=restart, max_restarts=max_restarts,
                                 tol=tol)

@@ -328,9 +328,10 @@ def cost(prob: OCPProblem, u_values: jnp.ndarray,
     return part_a + part_b
 
 
-def _solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
-    """∇u projection + adjoint ODE + point-source RHS + adjoint NS solve
-    (``OCP_dolfin.py:328-371``). Returns the mixed adjoint state z.
+def adjoint_rhs(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+    """∇u projection + adjoint ODE + point-source RHS — the adjoint solve's
+    load vector b (``OCP_dolfin.py:328-366``), exposed separately so
+    staged callers can run RHS and solve as separate device programs.
 
     adjoint_mode="consistent" keeps escaped buoys' pre-escape adjoint
     contributions (μ over t ≤ kfail−1 on the raw trajectory, point sources
@@ -361,11 +362,26 @@ def _solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
                                prob.u_d, fwd.mask, prob.h)
         b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
                              prob.h, prob.center, method=prob.psrc_method)
-    op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w, prob.bc_dofs)
+    return b
+
+
+def adjoint_operators(prob: OCPProblem, w: jnp.ndarray):
+    """(fine adjoint operator, coarse adjoint operator or None)."""
+    op = assemble.adjoint_operator(prob.space, prob.bq, w, prob.bc_dofs)
+    op_c = None
     if prob.linear_solver == "mg":
-        w_c = mg_mod.inject_state(prob.mg, prob.space, fwd.w)
+        w_c = mg_mod.inject_state(prob.mg, prob.space, w)
         op_c = assemble.adjoint_operator(prob.mg.space_c, prob.mg.bq_c,
                                          w_c, prob.mg.bc_dofs_c)
+    return op, op_c
+
+
+def _solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+    """Adjoint RHS + adjoint NS solve (``OCP_dolfin.py:328-371``).
+    Returns the mixed adjoint state z."""
+    b = adjoint_rhs(prob, fwd)
+    op, op_c = adjoint_operators(prob, fwd.w)
+    if prob.linear_solver == "mg":
         return mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
                                         prob.bc_vals).x
     return solve_operator(op, b, prob.bc_vals,

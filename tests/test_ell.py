@@ -20,9 +20,18 @@ def _mg_problem(nx=12, K=3):
     return sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
 
 
+def _tables(prob):
+    cd = np.asarray(prob.space.cell_dofs_mixed)
+    fd = cd[np.asarray(prob.bq.cells)]
+    bc = np.asarray(prob.bc_dofs)
+    return (build_ell_tables(cd, fd, prob.space.ndof, bc),
+            build_ell_tables(cd[:, :12], fd[:, :12], 2 * prob.space.n_p2,
+                             bc))
+
+
 def test_ell_matvec_matches_scatter_mixed_and_velocity():
     prob = _mg_problem()
-    assert prob.mg.ell_mixed is not None and prob.mg.ell_vel is not None
+    ell_mixed, ell_vel = _tables(prob)
     rng = np.random.default_rng(0)
     w = jnp.asarray(0.1 * rng.standard_normal(prob.space.ndof))
     op = assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
@@ -30,20 +39,20 @@ def test_ell_matvec_matches_scatter_mixed_and_velocity():
     x = jnp.asarray(rng.standard_normal(prob.space.ndof))
 
     y_ref = op.matvec64(x)
-    y_ell = ell_matvec_fn(prob.mg.ell_mixed, op, jnp.float64)(x)
+    y_ell = ell_matvec_fn(ell_mixed, op, jnp.float64)(x)
     assert float(jnp.max(jnp.abs(y_ref - y_ell))) < 1e-12
 
     n_vel = 2 * prob.space.n_p2
     vel = mg_mod.velocity_block(op, n_vel)
     xv = jnp.asarray(rng.standard_normal(n_vel))
     yv_ref = vel.matvec64(xv)
-    yv_ell = ell_matvec_fn(prob.mg.ell_vel, vel, jnp.float64)(xv)
+    yv_ell = ell_matvec_fn(ell_vel, vel, jnp.float64)(xv)
     assert float(jnp.max(jnp.abs(yv_ref - yv_ell))) < 1e-12
 
     # adjoint operator shares the topology — same tables apply
     opa = assemble.adjoint_operator(prob.space, prob.bq, w, prob.bc_dofs)
     ya_ref = opa.matvec64(x)
-    ya_ell = ell_matvec_fn(prob.mg.ell_mixed, opa, jnp.float64)(x)
+    ya_ell = ell_matvec_fn(ell_mixed, opa, jnp.float64)(x)
     assert float(jnp.max(jnp.abs(ya_ref - ya_ell))) < 1e-12
 
 
@@ -51,13 +60,14 @@ def test_ell_f32_close():
     """The f32 ELL matvec tracks the f64 scatter matvec at f32 accuracy
     (it feeds the native-f32 FGMRES production path)."""
     prob = _mg_problem()
+    ell_mixed, _ = _tables(prob)
     rng = np.random.default_rng(1)
     w = jnp.asarray(0.1 * rng.standard_normal(prob.space.ndof))
     op = assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
                               prob.bc_dofs)
     x = jnp.asarray(rng.standard_normal(prob.space.ndof))
     y64 = op.matvec64(x)
-    y32 = ell_matvec_fn(prob.mg.ell_mixed, op, jnp.float32)(x)
+    y32 = ell_matvec_fn(ell_mixed, op, jnp.float32)(x)
     denom = float(jnp.max(jnp.abs(y64))) + 1e-30
     assert float(jnp.max(jnp.abs(y64 - y32.astype(jnp.float64)))) < \
         1e-4 * denom
