@@ -73,3 +73,55 @@ def solve_dense(a64: jnp.ndarray, b: jnp.ndarray, iters: int = 12
     projection mass matrix)."""
     fac = factorize(a64)
     return solve_refined(fac, lambda x: a64 @ x, b, iters)
+
+
+# XLA's TPU blocked LU stages an (N, 128) fp32 panel in scoped VMEM; the
+# default 16 MB limit caps factorizations at ~15.6k dofs. 64 MB unlocks
+# ~60k (v5e VMEM is 128 MB physical).
+LARGE_LU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+
+def _maybe_large_lu_jit(fn):
+    if jax.default_backend() == "tpu":
+        return jax.jit(fn, compiler_options=LARGE_LU_COMPILER_OPTIONS)
+    return jax.jit(fn)
+
+
+def explicit_inverse_host(a: jnp.ndarray, chunk: int = 2048,
+                          newton_schulz: int = 1) -> jnp.ndarray:
+    """Explicit f32 inverse of a large dense matrix, built as a sequence
+    of memory-bounded device programs (host-orchestrated).
+
+    ``jnp.linalg.inv`` inside one program is unusable past ~10k on TPU:
+    XLA's blocked TriangularSolve keeps ~n/256 live copies of the n×n RHS
+    (measured 104.6 GB demanded at n=18.8k). Here: one LU factorization
+    program (raised scoped-VMEM limit), then identity columns solved in
+    ``chunk``-wide programs (each bounded by ~(n/256)·n·chunk·4 bytes),
+    then ``newton_schulz`` refinement steps X ← X(2I − AX) as matmul
+    programs — the refinement restores the accuracy an explicit f32
+    inverse loses on ill-conditioned blocks.
+
+    One-time setup cost per problem; the result makes every downstream
+    coarse solve a single MXU matmul.
+    """
+    a = a.astype(jnp.float32)
+    n = a.shape[0]
+    fac = _maybe_large_lu_jit(factorize)(a)
+
+    solve_chunk = _maybe_large_lu_jit(
+        lambda lu, piv, e: jsl.lu_solve((lu, piv), e))
+    cols = []
+    for start in range(0, n, chunk):
+        width = min(chunk, n - start)
+        e = jnp.zeros((n, width), jnp.float32).at[
+            start + jnp.arange(width), jnp.arange(width)].set(1.0)
+        cols.append(solve_chunk(fac.lu, fac.piv, e))
+        cols[-1].block_until_ready()
+    ainv = jnp.concatenate(cols, axis=1)
+
+    ns_step = _maybe_large_lu_jit(
+        lambda ainv, a: ainv + ainv @ (jnp.eye(a.shape[0], dtype=a.dtype)
+                                       - a @ ainv))
+    for _ in range(newton_schulz):
+        ainv = ns_step(ainv, a)
+    return ainv

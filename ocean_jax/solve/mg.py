@@ -135,17 +135,24 @@ class MGContext:
     # its velocity block (ops/ell.py); None → element scatter matvecs
     ell_mixed: Optional[ELLTables] = None
     ell_vel: Optional[ELLTables] = None
+    # precomputed f32 inverse of the coarse Stokes velocity block
+    # (ops/linalg.py::explicit_inverse_host, built once per problem):
+    # the vcycle's coarse solve becomes one MXU matmul, and no program
+    # ever materializes an in-jit inversion (whose XLA TriangularSolve
+    # demands ~n/256 RHS copies — 104 GB at the Nx=96 coarse grid)
+    ainv_c: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.space_c, self.bq_c, self.bc_dofs_c, self.pro_dofs,
                  self.pro_w, self.inj_dofs, self.inj_w, self.pm_inv,
-                 self.ell_mixed, self.ell_vel),
+                 self.ell_mixed, self.ell_vel, self.ainv_c),
                 (self.nu,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *head, ell_mixed, ell_vel = children
-        return cls(*head, *aux, ell_mixed=ell_mixed, ell_vel=ell_vel)
+        *head, ell_mixed, ell_vel, ainv_c = children
+        return cls(*head, *aux, ell_mixed=ell_mixed, ell_vel=ell_vel,
+                   ainv_c=ainv_c)
 
 
 def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
@@ -238,22 +245,25 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     vel_mv = op_matvec(vel_f, dtype)
     mixed_mv = op_matvec(op_mixed, dtype)
 
-    # coarse solve as ONE f32 matmul: jnp.linalg.inv is computed once per
-    # program (loop-hoisted — the operator state doesn't change inside a
-    # solve) and each vcycle application becomes an MXU matmul instead of
-    # two sequential blocked triangular solves (measured: the lu_solve
-    # dominated the 145 ms preconditioner application). The inverse is a
-    # *preconditioner* component — f32 inversion error only costs Krylov
-    # iterations, never solution accuracy.
-    vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
-    a_c = vel_c.dense()
-    ainv_c = jnp.linalg.inv(a_c)
-    # one Newton–Schulz step, X ← X(2I − AX): quadratically tightens the
-    # f32 inverse (explicit inversion alone left the ill-conditioned
-    # L-shape coarse solve too weak — Newton stalled at 1.3e-8 vs the
-    # 1e-12 the triangular-solve path reached); two one-time MXU matmuls
-    ainv_c = ainv_c + ainv_c @ (jnp.eye(a_c.shape[0], dtype=a_c.dtype)
-                                - a_c @ ainv_c)
+    # coarse solve as ONE f32 matmul (measured: the blocked triangular
+    # lu_solve dominated the 145 ms preconditioner application; the
+    # matmul form runs the 60-iteration FGMRES restart 10× faster). The
+    # inverse is a *preconditioner* component — f32 inversion error only
+    # costs Krylov iterations, never solution accuracy. Preferred source:
+    # the problem-constant precomputed mg.ainv_c (built host-side once,
+    # ops/linalg.py::explicit_inverse_host — in-jit jnp.linalg.inv OOMs
+    # HBM past ~10k because XLA's TriangularSolve keeps ~n/256 RHS
+    # copies). Fallback for contexts without it: in-program inversion +
+    # one Newton–Schulz step (the raw f32 inverse left the
+    # ill-conditioned L-shape Newton stalled at 1.3e-8).
+    if mg.ainv_c is not None:
+        ainv_c = mg.ainv_c
+    else:
+        vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
+        a_c = vel_c.dense()
+        ainv_c = jnp.linalg.inv(a_c)
+        ainv_c = ainv_c + ainv_c @ (
+            jnp.eye(a_c.shape[0], dtype=a_c.dtype) - a_c @ ainv_c)
 
     def coarse_solve(rc):
         return (ainv_c @ rc.astype(jnp.float32)).astype(dtype)

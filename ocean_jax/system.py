@@ -175,6 +175,17 @@ def build_problem(cfg: OCPConfig,
         mg_ctx = mg_mod.build_mg_context(space, space_c, bq_c, bc_dofs_c,
                                          cfg.viscosity, bq_f=bq,
                                          bc_dofs_f=bc_dofs)
+        # problem-constant coarse inverse (the forward preconditioner is
+        # frozen at w0=0 anyway; the adjoint reuses it as a Stokes-frozen
+        # coarse correction): built host-side in memory-bounded programs
+        from .ops import linalg as _linalg
+        op_c0 = jax.jit(lambda w: assemble.ns_operator(
+            space_c, bq_c, w, cfg.viscosity, bc_dofs_c))(
+                jnp.zeros(space_c.ndof))
+        vel_c0 = mg_mod.velocity_block(op_c0, 2 * space_c.n_p2)
+        a_c0 = jax.jit(lambda o: o.dense())(vel_c0)
+        mg_ctx = dataclasses.replace(
+            mg_ctx, ainv_c=_linalg.explicit_inverse_host(a_c0))
 
     nt = cfg.num_time_steps
     if u_d is None or x0 is None:
