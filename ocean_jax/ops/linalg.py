@@ -87,7 +87,7 @@ def _maybe_large_lu_jit(fn):
     return jax.jit(fn)
 
 
-def explicit_inverse_host(a: jnp.ndarray, chunk: int = 2048,
+def explicit_inverse_host(a: jnp.ndarray, chunk: int = 512,
                           newton_schulz: int = 1) -> jnp.ndarray:
     """Explicit f32 inverse of a large dense matrix, built as a sequence
     of memory-bounded device programs (host-orchestrated).
@@ -108,20 +108,26 @@ def explicit_inverse_host(a: jnp.ndarray, chunk: int = 2048,
     n = a.shape[0]
     fac = _maybe_large_lu_jit(factorize)(a)
 
+    # columns staged through HOST memory: the device holds only one
+    # chunk's triangular-solve working set at a time (XLA's unrolled
+    # block steps keep ~n/256 copies of the chunk alive — chunk width
+    # bounds that to (n/256)·n·chunk·4 bytes)
+    import numpy as _np
     solve_chunk = _maybe_large_lu_jit(
         lambda lu, piv, e: jsl.lu_solve((lu, piv), e))
-    cols = []
+    cols = _np.empty((n, n), dtype=_np.float32)
     for start in range(0, n, chunk):
         width = min(chunk, n - start)
         e = jnp.zeros((n, width), jnp.float32).at[
             start + jnp.arange(width), jnp.arange(width)].set(1.0)
-        cols.append(solve_chunk(fac.lu, fac.piv, e))
-        cols[-1].block_until_ready()
-    ainv = jnp.concatenate(cols, axis=1)
+        cols[:, start:start + width] = _np.asarray(
+            solve_chunk(fac.lu, fac.piv, e))
+    ainv = jnp.asarray(cols)
 
+    # X(2I − AX) = 2X − X(AX): no n×n identity materialized, ~5 live
+    # n×n buffers
     ns_step = _maybe_large_lu_jit(
-        lambda ainv, a: ainv + ainv @ (jnp.eye(a.shape[0], dtype=a.dtype)
-                                       - a @ ainv))
+        lambda ainv, a: 2.0 * ainv - ainv @ (a @ ainv))
     for _ in range(newton_schulz):
         ainv = ns_step(ainv, a)
     return ainv
