@@ -34,7 +34,8 @@ from ..fem.interpolate import eval_p1_tensor
 def solve_adjoint_ode(space: TaylorHoodSpace, grad_u: jnp.ndarray,
                       x: jnp.ndarray, u_values: jnp.ndarray,
                       u_d: jnp.ndarray, mask: jnp.ndarray,
-                      h: float, method: str = "parallel") -> jnp.ndarray:
+                      h: float, method: str = "parallel",
+                      grid=None) -> jnp.ndarray:
     """Explicit backward recursion (the production pipelines).
 
     grad_u: (n_p1, 2, 2) projected ∇u; x, u_values, u_d: (K, nt, 2);
@@ -46,10 +47,14 @@ def solve_adjoint_ode(space: TaylorHoodSpace, grad_u: jnp.ndarray,
     instead of 200 sequential steps, with all ∇u evaluations done in one
     batched gather. Produces the same values as the sequential scan
     (method="scan") to rounding error; tested equal.
+
+    ``grid`` (a ``GridEval``): route the batched ∇u evaluation through
+    the fused Pallas kernel (``ode/pallas_eval.py``) — the dominant cost
+    of the adjoint stage at K=10⁴; matches the gather path to ~1e-12.
     """
     if method == "parallel":
         return _adjoint_ode_parallel(space, grad_u, x, u_values, u_d,
-                                     mask, h)
+                                     mask, h, grid=grid)
     nt = x.shape[1]
 
     def one_buoy(x_b, uv_b, ud_b, masked):
@@ -77,7 +82,7 @@ def solve_adjoint_ode_consistent(space: TaylorHoodSpace,
                                  grad_u: jnp.ndarray, x_raw: jnp.ndarray,
                                  u_values: jnp.ndarray, u_d: jnp.ndarray,
                                  mask: jnp.ndarray, kfail: jnp.ndarray,
-                                 h: float) -> jnp.ndarray:
+                                 h: float, grid=None) -> jnp.ndarray:
     """Consistent-mode μ: escaped buoys keep their PRE-escape adjoint
     contributions (a capability beyond the reference, BACKLOG item 0).
 
@@ -92,14 +97,15 @@ def solve_adjoint_ode_consistent(space: TaylorHoodSpace,
     t = jnp.arange(nt)[None, :]
     valid = (~mask[:, None]) | (t <= (kfail[:, None] - 1))
     return _adjoint_ode_parallel(space, grad_u, x_raw, u_values, u_d,
-                                 jnp.zeros_like(mask), h, valid=valid)
+                                 jnp.zeros_like(mask), h, valid=valid,
+                                 grid=grid)
 
 
 def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
                           x: jnp.ndarray, u_values: jnp.ndarray,
                           u_d: jnp.ndarray, mask: jnp.ndarray,
-                          h: float, valid: jnp.ndarray = None
-                          ) -> jnp.ndarray:
+                          h: float, valid: jnp.ndarray = None,
+                          grid=None) -> jnp.ndarray:
     """Parallel-prefix form of the backward μ recursion.
 
     μ[k] = A_k μ[k+1] + b_k,  A_k = I + h ∇u(x[k+1])ᵀ,
@@ -111,8 +117,16 @@ def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
     """
     K, nt, _ = x.shape
 
-    # batched ∇u at ALL trajectory points in one gather
-    g_all, inside = eval_p1_tensor(space, grad_u, x)      # (K, nt, 2, 2)
+    # batched ∇u at ALL trajectory points — the adjoint stage's dominant
+    # cost at K=10⁴; the fused Pallas eval kernel replaces the gather
+    # chain when a GridEval is supplied (ode_backend="pallas")
+    if grid is not None:
+        from .grideval import grad_to_grid
+        from .pallas_eval import eval_p1_tensor_pallas
+        g_img = grad_to_grid(grid, grad_u)
+        g_all, inside = eval_p1_tensor_pallas(grid, g_img, x)
+    else:
+        g_all, inside = eval_p1_tensor(space, grad_u, x)  # (K, nt, 2, 2)
     # next valid time index ≥ t (reverse cummin); nt when none valid
     idx = jnp.where(inside, jnp.arange(nt)[None, :], nt)
     next_valid = jnp.flip(jax.lax.cummin(jnp.flip(idx, axis=1), axis=1),

@@ -352,10 +352,13 @@ def adjoint_rhs(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
     from .ode.adjoint import solve_adjoint_ode_consistent
     u, _ = prob.space.split(fwd.w)
     grad_u = prob.projector.project(prob.space, u)
+    # pallas backend: route the batched ∇u trajectory evaluation through
+    # the fused grid-eval kernel (matches the gather path to ~1e-12)
+    ode_grid = prob.grid if prob.ode_backend == "pallas" else None
     if prob.adjoint_mode == "consistent":
         mu = solve_adjoint_ode_consistent(
             prob.space, grad_u, fwd.x_raw, fwd.u_values, prob.u_d,
-            fwd.mask, fwd.kfail, prob.h)
+            fwd.mask, fwd.kfail, prob.h, grid=ode_grid)
         t = jnp.arange(prob.nt)[None, :]
         kf = fwd.kfail[:, None]
         pre = t <= kf - 1
@@ -370,7 +373,7 @@ def adjoint_rhs(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
                              active_t=active_t)
     else:
         mu = solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
-                               prob.u_d, fwd.mask, prob.h)
+                               prob.u_d, fwd.mask, prob.h, grid=ode_grid)
         b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
                              prob.h, prob.center, method=prob.psrc_method)
     return b
