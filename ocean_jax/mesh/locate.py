@@ -87,13 +87,45 @@ class Locator:
         )
 
 
+def _square_index(loc: Locator, px: jnp.ndarray, py: jnp.ndarray):
+    """Owning square (ix, iy) and local coordinates (s, t) ∈ [0,1]² of
+    already-clamped points — closed-form on uniform grids, per-axis
+    searchsorted on locally-graded tensor grids."""
+    x0, y0 = loc.origin
+    hx, hy = loc.spacing
+    nx, ny = loc.grid_shape
+    if loc.uniform:
+        fx = (px - x0) / hx
+        fy = (py - y0) / hy
+        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
+        s = fx - ix
+        t = fy - iy
+    else:
+        # locally-graded tensor grid: interval by searchsorted (side=right
+        # keeps grid-line points in the right-hand square, matching the
+        # floor semantics of the uniform path)
+        ix = jnp.clip(jnp.searchsorted(loc.xs_lines, px, side="right") - 1,
+                      0, nx - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.searchsorted(loc.ys_lines, py, side="right") - 1,
+                      0, ny - 1).astype(jnp.int32)
+        s = (px - loc.xs_lines[ix]) / (loc.xs_lines[ix + 1]
+                                       - loc.xs_lines[ix])
+        t = (py - loc.ys_lines[iy]) / (loc.ys_lines[iy + 1]
+                                       - loc.ys_lines[iy])
+    return ix, iy, s, t
+
+
 def in_domain(loc: Locator, points: jnp.ndarray) -> jnp.ndarray:
     """Jittable inside-domain predicate (boundary inclusive).
 
     Replaces the reference's exception-based escape detection
     (``OCP_dolfin.py:209-221``): dolfin point evaluation fails exactly when
-    the point lies outside the mesh.
-    """
+    the point lies outside the mesh. For obstacle (hole) domains the mesh
+    removes every square *intersecting* the disk, so the predicate also
+    requires the owning square to be active — matching "evaluation would
+    fail" exactly (fringe points between the disk and the staircase of
+    removed squares have no owning cell)."""
     x, y = points[..., 0], points[..., 1]
     xmin, ymin, xmax, ymax = loc.extent
     ok = ((x >= xmin - _EPS) & (x <= xmax + _EPS)
@@ -104,6 +136,10 @@ def in_domain(loc: Locator, points: jnp.ndarray) -> jnp.ndarray:
     if loc.hole is not None:
         hx_, hy_, r = loc.hole
         ok = ok & (((x - hx_) ** 2 + (y - hy_) ** 2) >= r * r)
+        px = jnp.clip(x, xmin, xmax)
+        py = jnp.clip(y, ymin, ymax)
+        ix, iy, _, _ = _square_index(loc, px, py)
+        ok = ok & (loc.square_to_cell[iy, ix, 0] >= 0)
     return ok
 
 
@@ -132,25 +168,7 @@ def locate_points(loc: Locator, points: jnp.ndarray
         in_block = (px < cx) & (py > cy)
         py = jnp.where(in_block, cy - 0.5 * hy, py)
 
-    if loc.uniform:
-        fx = (px - x0) / hx
-        fy = (py - y0) / hy
-        ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
-        iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
-        s = fx - ix
-        t = fy - iy
-    else:
-        # locally-graded tensor grid: interval by searchsorted (side=right
-        # keeps grid-line points in the right-hand square, matching the
-        # floor semantics of the uniform path)
-        ix = jnp.clip(jnp.searchsorted(loc.xs_lines, px, side="right") - 1,
-                      0, nx - 1).astype(jnp.int32)
-        iy = jnp.clip(jnp.searchsorted(loc.ys_lines, py, side="right") - 1,
-                      0, ny - 1).astype(jnp.int32)
-        s = (px - loc.xs_lines[ix]) / (loc.xs_lines[ix + 1]
-                                       - loc.xs_lines[ix])
-        t = (py - loc.ys_lines[iy]) / (loc.ys_lines[iy + 1]
-                                       - loc.ys_lines[iy])
+    ix, iy, s, t = _square_index(loc, px, py)
     if loc.diagonal == "right":
         which = (t > s).astype(jnp.int32)       # tri1 is above the v00-v11 diagonal
     else:

@@ -248,6 +248,10 @@ def graded_lines(a: float, b: float, center: float, lc_min: float,
     ``dist_max``. March from ``a`` stepping by the local size, then snap
     the last line to ``b`` (dropping it if the final interval would
     degenerate below lc_min/2)."""
+    if not dist_max > dist_min:
+        raise ValueError(
+            f"graded_lines needs dist_max > dist_min (got {dist_min}, "
+            f"{dist_max}) — the ramp divides by their difference")
     pts = [a]
     x = a
     while x < b - 1e-12:
@@ -256,7 +260,13 @@ def graded_lines(a: float, b: float, center: float, lc_min: float,
         x = min(x + lc_min + (lc_max - lc_min) * f, b)
         pts.append(x)
     arr = np.asarray(pts)
-    if len(arr) > 2 and arr[-1] - arr[-2] < 0.5 * lc_min:
+    # degenerate-final-interval merge against the LOCAL ramped spacing at
+    # b (near b the target size may be lc_max; comparing against lc_min
+    # would let a relatively tiny last cell survive)
+    d_b = abs(b - center)
+    f_b = min(max((d_b - dist_min) / (dist_max - dist_min), 0.0), 1.0)
+    lc_b = lc_min + (lc_max - lc_min) * f_b
+    if len(arr) > 2 and arr[-1] - arr[-2] < 0.5 * lc_b:
         arr = np.delete(arr, -2)
     arr[-1] = b
     return arr
@@ -370,9 +380,13 @@ def pipe_mesh(resolution: int = 22, obstacle: bool = False,
         active &= (dx ** 2 + dy ** 2) >= r ** 2
         hole = (c_x, c_y, r)
     vertices, cells, s2c = _triangulate(active, xs, ys, diagonal)
+    # exact L/n spacing on the uniform path: the closed-form locator
+    # arithmetic (hx) is golden-parity-sensitive and linspace diffs can
+    # differ from L/n in the last ulp; diff-max only for graded meshes
+    spacing = ((float(np.diff(xs).max()), float(np.diff(ys).max()))
+               if graded else (L / n, H / n))
     mesh = _finalize(vertices, cells, s2c, origin=(0.0, 0.0),
-                     spacing=(float(np.diff(xs).max()),
-                              float(np.diff(ys).max())),
+                     spacing=spacing,
                      grid_shape=(nx, ny),
                      diagonal=diagonal, domain="pipe",
                      extent=(0.0, 0.0, L, H), hole=hole,

