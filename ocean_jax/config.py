@@ -78,6 +78,7 @@ class OCPConfig:
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)
+    adjoint_reuse_lu: str = "auto"    # auto|on|off — solve the adjoint through the TRANSPOSED Newton LU factors (no second factorization per GD iteration; auto = on iff ν==1, where the adjoint operator is exactly the transposed Jacobian, and the dense path is active)
     reuse_ls_forward: bool = False    # reuse the accepted Armijo probe's forward state (bit-identical)
     seed: int = 0
 

@@ -44,6 +44,15 @@ class LUSolver:
         return jsl.lu_solve((self.lu, self.piv),
                             b.astype(jnp.float32)).astype(jnp.float64)
 
+    def solve32_t(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Solve Aᵀ x = b through the SAME factors (trans=1): one LU
+        factorization serves both the primal operator and its transpose —
+        the enabler of the factorization-free adjoint solve (the adjoint
+        NS operator is the transposed Newton Jacobian for ν=1, see
+        ``solve/linear.py::solve_operator_reuse_t``)."""
+        return jsl.lu_solve((self.lu, self.piv),
+                            b.astype(jnp.float32), trans=1).astype(jnp.float64)
+
 
 def factorize(a: jnp.ndarray) -> LUSolver:
     """LU-factorize a dense matrix in float32."""

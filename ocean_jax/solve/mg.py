@@ -141,18 +141,30 @@ class MGContext:
     # ever materializes an in-jit inversion (whose XLA TriangularSolve
     # demands ~n/256 RHS copies — 104 GB at the Nx=96 coarse grid)
     ainv_c: Optional[jnp.ndarray] = None
+    # --- multi-LEVEL extension (Nx≥192, where even the half-resolution
+    # coarse velocity block no longer fits a dense inverse): when
+    # ``ainv_c`` is None and ``sub`` is set, the coarse correction is
+    # itself a recursive V-cycle — Jacobi smoothing on ``op_vel_c`` (the
+    # FROZEN Stokes velocity block at this context's coarse level; the
+    # whole preconditioner hierarchy is frozen at w0=0 already, so every
+    # level below the finest is problem-constant) with ``sub`` describing
+    # the next coarser transfer/solve. The chain ends at a context whose
+    # ``ainv_c`` is the explicit inverse of a small-enough block.
+    op_vel_c: Optional[Operator] = None
+    sub: Optional["MGContext"] = None
 
     def tree_flatten(self):
         return ((self.space_c, self.bq_c, self.bc_dofs_c, self.pro_dofs,
                  self.pro_w, self.inj_dofs, self.inj_w, self.pm_inv,
-                 self.ell_mixed, self.ell_vel, self.ainv_c),
+                 self.ell_mixed, self.ell_vel, self.ainv_c,
+                 self.op_vel_c, self.sub),
                 (self.nu,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *head, ell_mixed, ell_vel, ainv_c = children
+        *head, ell_mixed, ell_vel, ainv_c, op_vel_c, sub = children
         return cls(*head, *aux, ell_mixed=ell_mixed, ell_vel=ell_vel,
-                   ainv_c=ainv_c)
+                   ainv_c=ainv_c, op_vel_c=op_vel_c, sub=sub)
 
 
 def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
@@ -221,57 +233,19 @@ def op_matvec(op: Operator, dtype=jnp.float64
     return mv
 
 
-def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
-                              op_mixed: Operator, op_mixed_c: Operator,
-                              omega: float = 0.6, pre: int = 2,
-                              post: int = 2, dtype=jnp.float64
-                              ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Build M ≈ P⁻¹ from a (possibly frozen) fine mixed operator and the
-    matching coarse mixed operator.
+def _jacobi_dinv(vel_op: Operator, omega: float, dtype) -> jnp.ndarray:
+    d = krylov.operator_diagonal(vel_op)
+    return (omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)).astype(dtype)
 
-      M(r): p = −Ŝ⁻¹ r_p;  u = V-cycle_Â(r_u − Bᵀp);  return (u, p)
 
-    The V-cycle smooths with damped Jacobi on the fine velocity block and
-    solves the coarse velocity block exactly (fp32 dense LU). ``dtype``
-    sets the preconditioner arithmetic — float32 feeds the
-    mixed-precision FGMRES production path."""
-    n_vel = 2 * space_f.n_p2
-    vel_f = velocity_block(op_mixed, n_vel)
-    d = krylov.operator_diagonal(vel_f)
-    dinv = (omega / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)).astype(dtype)
-    # element scatter matvecs: measured FASTER than the ELL gather tables
-    # on TPU at Nx=64 (4.5 ms vs 31 ms — row gathers don't vectorize; the
-    # 19k-cell scatter does). ELL stays available for sharded callers.
-    vel_mv = op_matvec(vel_f, dtype)
-    mixed_mv = op_matvec(op_mixed, dtype)
-
-    # coarse solve as ONE f32 matmul (measured: the blocked triangular
-    # lu_solve dominated the 145 ms preconditioner application; the
-    # matmul form runs the 60-iteration FGMRES restart 10× faster). The
-    # inverse is a *preconditioner* component — f32 inversion error only
-    # costs Krylov iterations, never solution accuracy. Preferred source:
-    # the problem-constant precomputed mg.ainv_c (built host-side once,
-    # ops/linalg.py::explicit_inverse_host — in-jit jnp.linalg.inv OOMs
-    # HBM past ~10k because XLA's TriangularSolve keeps ~n/256 RHS
-    # copies). Fallback for contexts without it: in-program inversion +
-    # one Newton–Schulz step (the raw f32 inverse left the
-    # ill-conditioned L-shape Newton stalled at 1.3e-8).
-    if mg.ainv_c is not None:
-        ainv_c = mg.ainv_c
-    else:
-        vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
-        a_c = vel_c.dense()
-        ainv_c = jnp.linalg.inv(a_c)
-        ainv_c = ainv_c + ainv_c @ (
-            jnp.eye(a_c.shape[0], dtype=a_c.dtype) - a_c @ ainv_c)
-
-    def coarse_solve(rc):
-        return (ainv_c @ rc.astype(jnp.float32)).astype(dtype)
-
-    bc_f = op_mixed.bc_dofs
-    bc_c = mg.bc_dofs_c
+def _make_vcycle(mg: MGContext, vel_mv: Callable, dinv: jnp.ndarray,
+                 bc_f: jnp.ndarray, dtype, omega: float, pre: int,
+                 post: int, coarse_solve: Callable) -> Callable:
+    """One V-cycle on a level's velocity block: ``pre`` damped-Jacobi
+    sweeps, coarse correction through ``coarse_solve`` over the transfer
+    tables of ``mg``, ``post`` sweeps."""
     pro_w = mg.pro_w.astype(dtype)
-    pm_inv = mg.pm_inv.astype(dtype)
+    bc_c = mg.bc_dofs_c
 
     def vcycle(r):                                    # r: (n_vel,)
         e = dinv * r
@@ -289,6 +263,84 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
         for _ in range(post):
             e = e + dinv * (r - vel_mv(e))
         return e
+
+    return vcycle
+
+
+def _coarse_solver(mg: MGContext, dtype, omega: float, pre: int,
+                   post: int) -> Optional[Callable]:
+    """The coarse-correction solve of a context: an explicit-inverse MXU
+    matmul at the leaf, or a recursive V-cycle on the frozen coarse
+    velocity block when the hierarchy continues (``mg.sub``). Returns None
+    when neither table exists (legacy in-program-inverse contexts)."""
+    if mg.ainv_c is not None:
+        ainv_c = mg.ainv_c
+        return lambda rc: (ainv_c @ rc.astype(jnp.float32)).astype(dtype)
+    if mg.sub is not None:
+        assert mg.op_vel_c is not None, (
+            "multi-level context needs the frozen coarse velocity operator")
+        dinv_c = _jacobi_dinv(mg.op_vel_c, omega, dtype)
+        mv_c = op_matvec(mg.op_vel_c, dtype)
+        sub_solve = _coarse_solver(mg.sub, dtype, omega, pre, post)
+        return _make_vcycle(mg.sub, mv_c, dinv_c, mg.bc_dofs_c, dtype,
+                            omega, pre, post, sub_solve)
+    return None
+
+
+def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
+                              op_mixed: Operator,
+                              op_mixed_c: Optional[Operator] = None,
+                              omega: float = 0.6, pre: int = 2,
+                              post: int = 2, dtype=jnp.float64
+                              ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build M ≈ P⁻¹ from a (possibly frozen) fine mixed operator and the
+    context's coarse hierarchy.
+
+      M(r): p = −Ŝ⁻¹ r_p;  u = V-cycle_Â(r_u − Bᵀp);  return (u, p)
+
+    The V-cycle smooths with damped Jacobi on the fine velocity block; the
+    coarse correction is an explicit-inverse matmul (two-grid leaf) or a
+    recursive V-cycle over ``mg.sub`` (multi-level, Nx≥192). ``dtype``
+    sets the preconditioner arithmetic — float32 feeds the
+    mixed-precision FGMRES production path. ``op_mixed_c`` (the coarse
+    assembly of the same form) is only needed by legacy contexts carrying
+    neither ``ainv_c`` nor ``sub``: there the coarse velocity block is
+    inverted in-program (+1 Newton–Schulz step — the raw f32 inverse left
+    the ill-conditioned L-shape Newton stalled at 1.3e-8)."""
+    n_vel = 2 * space_f.n_p2
+    vel_f = velocity_block(op_mixed, n_vel)
+    dinv = _jacobi_dinv(vel_f, omega, dtype)
+    # element scatter matvecs: measured FASTER than the ELL gather tables
+    # on TPU at Nx=64 (4.5 ms vs 31 ms — row gathers don't vectorize; the
+    # 19k-cell scatter does). ELL stays available for sharded callers.
+    vel_mv = op_matvec(vel_f, dtype)
+    mixed_mv = op_matvec(op_mixed, dtype)
+
+    # coarse solve as ONE f32 matmul (measured: the blocked triangular
+    # lu_solve dominated the 145 ms preconditioner application; the
+    # matmul form runs the 60-iteration FGMRES restart 10× faster). The
+    # inverse is a *preconditioner* component — f32 inversion error only
+    # costs Krylov iterations, never solution accuracy. Preferred source:
+    # the problem-constant precomputed mg.ainv_c (built host-side once,
+    # ops/linalg.py::explicit_inverse_host — in-jit jnp.linalg.inv OOMs
+    # HBM past ~10k because XLA's TriangularSolve keeps ~n/256 RHS
+    # copies), or the recursive multi-level V-cycle (mg.sub).
+    coarse_solve = _coarse_solver(mg, dtype, omega, pre, post)
+    if coarse_solve is None:
+        assert op_mixed_c is not None, (
+            "a context without ainv_c/sub needs the coarse mixed operator")
+        vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
+        a_c = vel_c.dense()
+        ainv_c = jnp.linalg.inv(a_c)
+        ainv_c = ainv_c + ainv_c @ (
+            jnp.eye(a_c.shape[0], dtype=a_c.dtype) - a_c @ ainv_c)
+        coarse_solve = (
+            lambda rc: (ainv_c @ rc.astype(jnp.float32)).astype(dtype))
+
+    bc_f = op_mixed.bc_dofs
+    pm_inv = mg.pm_inv.astype(dtype)
+    vcycle = _make_vcycle(mg, vel_mv, dinv, bc_f, dtype, omega, pre, post,
+                          coarse_solve)
 
     def M(r):
         ru, rp = r[:n_vel], r[n_vel:]
@@ -313,7 +365,7 @@ class MGSolveResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
+def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
                       space_f: TaylorHoodSpace, b: jnp.ndarray,
                       bc_vals: jnp.ndarray, tol: float = 1e-11,
                       restart: int = 60, max_restarts: int = 4,
@@ -331,7 +383,9 @@ def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
     residuals use the exact fp64 matvec. Each round contracts the fp64
     residual by ~``inner_tol``.
 
-    ``op_c`` must be the coarse assembly of the SAME bilinear form.
+    ``op_c`` must be the coarse assembly of the SAME bilinear form — only
+    needed (and only used) by legacy contexts carrying neither ``ainv_c``
+    nor ``sub``; pass None otherwise and skip the coarse assembly.
     ``matvec_of`` (op → matvec) lets multi-chip callers swap in a
     dof-sharded operator application (parallel/dof_sharding.py)."""
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
@@ -365,7 +419,8 @@ def solve_operator_mg(op: Operator, op_c: Operator, mg: MGContext,
 
 def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     operator_fn: Callable[[jnp.ndarray], Operator],
-                    coarse_operator_fn: Callable[[jnp.ndarray], Operator],
+                    coarse_operator_fn: Optional[Callable[[jnp.ndarray],
+                                                          Operator]],
                     mg: MGContext, space_f: TaylorHoodSpace,
                     w0: jnp.ndarray, bc_dofs: jnp.ndarray,
                     bc_vals: jnp.ndarray,
@@ -398,7 +453,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         return r.at[bc_dofs].set(w[bc_dofs] - bc_vals)
 
     op0 = operator_fn(w0)
-    op0_c = coarse_operator_fn(w0)
+    op0_c = (coarse_operator_fn(w0) if coarse_operator_fn is not None
+             else None)
     M32 = make_block_preconditioner(mg, space_f, op0, op0_c,
                                     dtype=jnp.float32)
 

@@ -19,7 +19,7 @@ state carries full float64 accuracy without any fp64 factorization.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,15 @@ class NewtonResult(NamedTuple):
     iterations: jnp.ndarray
     residual_norm: jnp.ndarray
     converged: jnp.ndarray
+    # float32 LU factors of the last Jacobian the solver factorized
+    # (J(w0) under reuse_factorization, else the final iteration's
+    # Jacobian). Downstream the adjoint solve reuses them TRANSPOSED as
+    # its preconditioner — for ν=1 the reference's adjoint operator IS
+    # the transposed Newton Jacobian (OCP_dolfin.py:344-347 vs :321-322),
+    # so one factorization per GD iteration serves both saddle solves
+    # (solve/linear.py::solve_operator_reuse_t). None on the matrix-free
+    # mg path.
+    fac: Optional[linalg.LUSolver] = None
 
 
 def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -43,7 +52,8 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  atol: float = 1e-10,
                  max_iter: int = 50,
                  reuse_factorization: bool = False,
-                 correction_iters: int = 3) -> NewtonResult:
+                 correction_iters: int = 3,
+                 fac0: Optional[linalg.LUSolver] = None) -> NewtonResult:
     """Solve residual(w) = 0 with BC-aware Newton.
 
     residual_fn: raw residual (no BC rows) in float64.
@@ -57,6 +67,14 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     Nx=32), so this trades one factorization for a few cheap matvec/
     triangular-solve sweeps; the convergence test is unchanged (fp64
     residual), so accuracy is unaffected — only the step quality.
+
+    ``fac0``: precomputed float32 LU factors of J(w0). For the standard
+    w0 = 0 start the Jacobian is the STOKES operator — control-independent
+    and therefore problem-constant — so production callers factorize it
+    once per problem (``system.build_problem``) and every GD iteration,
+    including each Armijo line-search probe, runs with ZERO in-program
+    factorizations (the factorize below is bitwise the same computation,
+    just hoisted out of the iteration).
     """
 
     def bc_residual(w):
@@ -65,7 +83,8 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
     r0 = bc_residual(w0)
     r0norm = jnp.linalg.norm(r0)
-    fac0 = linalg.factorize(operator_fn(w0).dense())
+    if fac0 is None:
+        fac0 = linalg.factorize(operator_fn(w0).dense())
 
     def cond(state):
         w, r, rnorm, it, fac = state
@@ -95,7 +114,7 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
         r = bc_residual(w)
         return (w, r, jnp.linalg.norm(r), it + 1, fac)
 
-    w, r, rnorm, it, _ = jax.lax.while_loop(
+    w, r, rnorm, it, fac = jax.lax.while_loop(
         cond, body, (w0, r0, r0norm, jnp.asarray(0), fac0))
     converged = (rnorm <= atol) | (rnorm <= rtol * r0norm)
-    return NewtonResult(w, it, rnorm, converged)
+    return NewtonResult(w, it, rnorm, converged, fac)

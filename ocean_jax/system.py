@@ -38,6 +38,7 @@ from .mesh import rectangle_mesh, l_shape_mesh, mark_boundary_facets
 from .ode import solve_primal_ode, solve_adjoint_ode
 from .ode.grideval import make_grideval
 from .solve import newton_solve, solve_operator, GradProjector
+from .solve.linear import solve_operator_reuse_t
 from .solve import mg as mg_mod
 from .solve.mg import MGContext
 from .solve.newton import NewtonResult
@@ -78,22 +79,39 @@ class OCPProblem:
     # stencil), "pallas" (fused 200-step TPU mega-kernel)
     ode_backend: str = "gather"
     grid: Optional[object] = None    # GridEval tables (grid/pallas backends)
+    # solve the adjoint system through the TRANSPOSED Newton LU factors —
+    # one factorization per GD iteration instead of two (valid because the
+    # reference's adjoint operator is the transposed Jacobian at ν=1;
+    # solve/linear.py::solve_operator_reuse_t)
+    adjoint_reuse_lu: bool = False
+    # per-buoy weights (K,): multi-chip padding lanes carry weight 0 —
+    # they drop out of the cost, the adjoint point sources, and escape
+    # counting (parallel/sharding.py::pad_buoys). None = all ones.
+    buoy_weights: Optional[jnp.ndarray] = None
+    # problem-constant float32 LU factors of the STOKES (w=0) Jacobian —
+    # the matrix every Newton solve factorizes first is control-
+    # independent, so it is factorized ONCE here and the GD iteration
+    # (incl. every Armijo probe) runs with zero in-program factorizations
+    # (solve/newton.py::newton_solve fac0)
+    fac0: Optional[object] = None
 
     def tree_flatten(self):
         return ((self.space, self.bq, self.bc_dofs, self.bc_vals,
                  self.projector, self.u_d, self.x0, self.center, self.mg,
-                 self.grid),
+                 self.grid, self.buoy_weights, self.fac0),
                 (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
-                 self.adjoint_mode, self.ode_backend))
+                 self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *head, mg, grid = children
-        *scalars, linear_solver, adjoint_mode, ode_backend = aux
+        *head, mg, grid, buoy_weights, fac0 = children
+        (*scalars, linear_solver, adjoint_mode, ode_backend,
+         adjoint_reuse_lu) = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
                    adjoint_mode=adjoint_mode, ode_backend=ode_backend,
-                   grid=grid)
+                   grid=grid, adjoint_reuse_lu=adjoint_reuse_lu,
+                   buoy_weights=buoy_weights, fac0=fac0)
 
     @property
     def K(self) -> int:
@@ -145,6 +163,95 @@ def _domain_setup(cfg: OCPConfig, resolution: Optional[int] = None):
 AUTO_MG_DOF_THRESHOLD = 25000
 
 
+def resolve_adjoint_reuse(mode: str, nu: float, linear_solver: str) -> bool:
+    """Resolve the ``adjoint_reuse_lu`` config knob. "auto" enables the
+    transposed-factor adjoint solve exactly when it is mathematically a
+    preconditioner of the right operator: ν=1 (the reference's adjoint
+    Laplacian carries no viscosity coefficient, OCP_dolfin.py:344, so it
+    transposes the Jacobian only at ν=1) on the dense direct path (the mg
+    path holds no factors)."""
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    if mode != "auto":
+        raise ValueError(f"adjoint_reuse_lu must be auto|on|off, got {mode!r}")
+    return nu == 1.0 and linear_solver == "dense"
+
+
+# the coarsest multigrid level must fit an explicit dense f32 inverse:
+# ~20k velocity dofs → a 1.6 GB inverse + a one-time O(n³) build. Levels
+# above it are corrected recursively (solve/mg.py::_coarse_solver), so
+# mesh resolution is unbounded — the axis the reference scales through
+# PETSc's sparse CPU LU (OCP_dolfin.py:28-30,325,371).
+DENSE_INV_VEL_DOF_BUDGET = 20000
+
+
+def _make_mg_level(cfg: OCPConfig, n: int):
+    mesh, _, g1, g2 = _domain_setup(cfg, resolution=n)
+    space = make_space(mesh)
+    tags = mark_boundary_facets(mesh, g1, tag=1)
+    bq = make_boundary_quad(mesh, tags, tag=1)
+    bc_dofs, _ = dirichlet_velocity_bc(mesh, space, g2)
+    return space, bq, bc_dofs
+
+
+def _stokes_velocity_operator(space, bq, bc_dofs, nu):
+    """The FROZEN (w=0) NS velocity block at a level — the smoothing
+    operator of intermediate multigrid levels (problem-constant: the
+    whole preconditioner hierarchy is frozen at w0=0)."""
+    op0 = jax.jit(lambda w: assemble.ns_operator(
+        space, bq, w, nu, bc_dofs))(jnp.zeros(space.ndof))
+    return mg_mod.velocity_block(op0, 2 * space.n_p2)
+
+
+def build_mg_hierarchy(cfg: OCPConfig, space_f: TaylorHoodSpace,
+                       bq_f: BoundaryQuad, bc_dofs_f: jnp.ndarray,
+                       n_fine: int,
+                       budget: Optional[int] = None) -> MGContext:
+    """Build the multi-level geometric-multigrid context chain: halve the
+    resolution until the coarsest velocity block fits the dense-inverse
+    budget, freeze the Stokes velocity operator of every intermediate
+    level, and precompute the explicit f32 inverse only at the leaf
+    (memory-bounded host-staged programs, ops/linalg.py). Two-grid for
+    Nx≤96 (unchanged round-2 behavior), three levels at Nx=192, four at
+    Nx=256 — resolution is no longer capped by any dense factorization."""
+    from .ops import linalg as _linalg
+    if budget is None:
+        budget = DENSE_INV_VEL_DOF_BUDGET
+    levels = [(space_f, bq_f, bc_dofs_f)]
+    n = n_fine
+    while True:
+        n = max(n // 2, 4)
+        lvl = _make_mg_level(cfg, n)
+        levels.append(lvl)
+        if 2 * lvl[0].n_p2 <= budget or n <= 4:
+            break
+
+    # leaf inverse (explicit f32, host-staged build)
+    space_l, bq_l, bc_l = levels[-1]
+    vel_l = _stokes_velocity_operator(space_l, bq_l, bc_l, cfg.viscosity)
+    a_l = jax.jit(lambda o: o.dense())(vel_l)
+    ainv = _linalg.explicit_inverse_host(a_l)
+
+    sub = None
+    for i in range(len(levels) - 2, -1, -1):
+        (sp_f, bq_i, bc_i), (sp_c, bq_c, bc_c) = levels[i], levels[i + 1]
+        top = i == 0
+        ctx = mg_mod.build_mg_context(
+            sp_f, sp_c, bq_c, bc_c, cfg.viscosity,
+            bq_f=bq_i if top else None,
+            bc_dofs_f=bc_i if top else None)
+        if i == len(levels) - 2:
+            ctx = dataclasses.replace(ctx, ainv_c=ainv)
+        else:
+            op_vel_c = _stokes_velocity_operator(sp_c, bq_c, bc_c,
+                                                 cfg.viscosity)
+            ctx = dataclasses.replace(ctx, sub=sub, op_vel_c=op_vel_c)
+        sub = ctx
+    return sub
+
+
 def build_problem(cfg: OCPConfig,
                   u_d: Optional[np.ndarray] = None,
                   x0: Optional[np.ndarray] = None) -> OCPProblem:
@@ -163,29 +270,21 @@ def build_problem(cfg: OCPConfig,
         linear_solver = ("mg" if space.ndof > AUTO_MG_DOF_THRESHOLD
                          else "dense")
     mg_ctx = None
+    fac0 = None
     if linear_solver == "mg":
         n_fine = (cfg.L_shape_resolution if cfg.L_shape
                   else cfg.unit_square_resolution)
-        n_coarse = max(n_fine // 2, 4)
-        mesh_c, _, g1c, g2c = _domain_setup(cfg, resolution=n_coarse)
-        space_c = make_space(mesh_c)
-        tags_c = mark_boundary_facets(mesh_c, g1c, tag=1)
-        bq_c = make_boundary_quad(mesh_c, tags_c, tag=1)
-        bc_dofs_c, _ = dirichlet_velocity_bc(mesh_c, space_c, g2c)
-        mg_ctx = mg_mod.build_mg_context(space, space_c, bq_c, bc_dofs_c,
-                                         cfg.viscosity, bq_f=bq,
-                                         bc_dofs_f=bc_dofs)
-        # problem-constant coarse inverse (the forward preconditioner is
-        # frozen at w0=0 anyway; the adjoint reuses it as a Stokes-frozen
-        # coarse correction): built host-side in memory-bounded programs
+        mg_ctx = build_mg_hierarchy(cfg, space, bq, bc_dofs, n_fine)
+    else:
+        # problem-constant Stokes LU: the first matrix every Newton solve
+        # factorizes is J(w0=0) — control-independent — so factorize it
+        # once here and the per-iteration programs do ZERO factorizations
+        # (raised scoped-VMEM jit for large dense problems, ops/linalg.py)
         from .ops import linalg as _linalg
-        op_c0 = jax.jit(lambda w: assemble.ns_operator(
-            space_c, bq_c, w, cfg.viscosity, bc_dofs_c))(
-                jnp.zeros(space_c.ndof))
-        vel_c0 = mg_mod.velocity_block(op_c0, 2 * space_c.n_p2)
-        a_c0 = jax.jit(lambda o: o.dense())(vel_c0)
-        mg_ctx = dataclasses.replace(
-            mg_ctx, ainv_c=_linalg.explicit_inverse_host(a_c0))
+        fac0 = _linalg._maybe_large_lu_jit(
+            lambda w: _linalg.factorize(assemble.ns_operator(
+                space, bq, w, cfg.viscosity, bc_dofs).dense()))(
+                    jnp.zeros(space.ndof))
 
     nt = cfg.num_time_steps
     if u_d is None or x0 is None:
@@ -215,7 +314,11 @@ def build_problem(cfg: OCPConfig,
         mg=mg_ctx, linear_solver=linear_solver,
         adjoint_mode=getattr(cfg, "adjoint_mode", "reference"),
         ode_backend=ode_backend,
-        grid=(make_grideval(space) if ode_backend != "gather" else None))
+        grid=(make_grideval(space) if ode_backend != "gather" else None),
+        adjoint_reuse_lu=resolve_adjoint_reuse(
+            getattr(cfg, "adjoint_reuse_lu", "auto"), cfg.viscosity,
+            linear_solver),
+        fac0=fac0)
 
 
 def lshape_ud(cfg: OCPConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -272,13 +375,14 @@ def fd_direction(prob: OCPProblem) -> Control:
 # jitted stage functions
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
+def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
+              matvec_of=None) -> NewtonResult:
     """Primal NS Newton solve, from w=0 (``OCP_dolfin.py:314-325``).
 
     linear_solver="mg" swaps the dense-LU Newton steps for the mesh-robust
-    FGMRES + two-grid preconditioner (solve/mg.py) — the scaling path past
-    ~21k mixed dofs where the TPU dense LU no longer fits."""
+    FGMRES + multigrid preconditioner (solve/mg.py) — the scaling path past
+    ~21k mixed dofs where the TPU dense LU no longer fits. ``matvec_of``
+    (op → matvec) lets multi-chip callers dof-shard the Krylov matvec."""
     def residual(w):
         return assemble.ns_residual(prob.space, prob.bq, w, f_quad, prob.nu)
 
@@ -287,43 +391,60 @@ def solve_ns(prob: OCPProblem, f_quad: jnp.ndarray) -> NewtonResult:
                                     prob.bc_dofs)
 
     if prob.linear_solver == "mg":
-        def coarse_operator(w):
-            w_c = mg_mod.inject_state(prob.mg, prob.space, w)
-            return assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c, w_c,
-                                        prob.nu, prob.mg.bc_dofs_c)
+        if prob.mg.ainv_c is not None or prob.mg.sub is not None:
+            # the coarse hierarchy is frozen/precomputed: no per-solve
+            # coarse assembly (it was built and then ignored before)
+            coarse_operator = None
+        else:
+            def coarse_operator(w):
+                w_c = mg_mod.inject_state(prob.mg, prob.space, w)
+                return assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c,
+                                            w_c, prob.nu,
+                                            prob.mg.bc_dofs_c)
 
         return mg_mod.newton_solve_mg(
             residual, operator, coarse_operator, prob.mg, prob.space,
-            jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals)
+            jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals,
+            matvec_of=matvec_of)
 
     return newton_solve(residual, operator, jnp.zeros(prob.space.ndof),
                         prob.bc_dofs, prob.bc_vals,
-                        reuse_factorization=prob.newton_reuse_lu)
+                        reuse_factorization=prob.newton_reuse_lu,
+                        fac0=prob.fac0)
 
 
-def _forward(prob: OCPProblem, f_quad: jnp.ndarray) -> ForwardState:
-    """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``).
+solve_ns = jax.jit(_solve_ns, static_argnames=("matvec_of",))
 
-    The primal ODE runs on the configured ``ode_backend``: the index-table
+
+def _primal_ode(prob: OCPProblem, u: jnp.ndarray):
+    """Primal buoy ODE on the configured ``ode_backend``: the index-table
     gather chain (reference-exact anchor), the table-free half-grid
     stencil, or the fused Pallas TPU kernel (one kernel for all nt-1 Euler
-    steps; double-single f32 positions hold f64-equivalent accuracy)."""
-    res = solve_ns(prob, f_quad)
-    u, _ = prob.space.split(res.w)
+    steps; double-single f32 positions hold f64-equivalent accuracy).
+    Factored out so the multi-chip path can shard_map exactly this stage
+    over the buoy axis (parallel/sharding.py)."""
     if prob.ode_backend == "pallas":
         from .ode.pallas_ode import solve_primal_ode_pallas
-        ode = solve_primal_ode_pallas(prob.space, prob.grid, u, prob.x0,
-                                      prob.h, prob.nt, prob.center)
-    else:
-        ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
-                               prob.center,
-                               grid=(prob.grid if prob.ode_backend == "grid"
-                                     else None))
+        return solve_primal_ode_pallas(prob.space, prob.grid, u, prob.x0,
+                                       prob.h, prob.nt, prob.center)
+    return solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
+                            prob.center,
+                            grid=(prob.grid if prob.ode_backend == "grid"
+                                  else None))
+
+
+def _forward(prob: OCPProblem, f_quad: jnp.ndarray, ode_impl=None,
+             matvec_of=None) -> ForwardState:
+    """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``). ``ode_impl``
+    overrides the ODE stage (multi-chip: a shard_map of ``_primal_ode``)."""
+    res = _solve_ns(prob, f_quad, matvec_of=matvec_of)
+    u, _ = prob.space.split(res.w)
+    ode = (ode_impl or _primal_ode)(prob, u)
     return ForwardState(res.w, ode.x, ode.u_values, ode.mask, res,
                         ode.x_raw, ode.kfail)
 
 
-forward = jax.jit(_forward)
+forward = jax.jit(_forward, static_argnames=("ode_impl", "matvec_of"))
 
 
 @jax.jit
@@ -331,15 +452,57 @@ def cost(prob: OCPProblem, u_values: jnp.ndarray,
          f_quad: jnp.ndarray) -> jnp.ndarray:
     """J = 0.5 Σ_k Σ_t h‖u − u_d‖² + α/2 ∫_{Γ₁}|f|² ds
     (``OCP_dolfin.py:258-261``; masked buoys still contribute their
-    partial u_values, as in the reference)."""
-    part_a = 0.5 * jnp.sum(
-        prob.h * jnp.sum((u_values - prob.u_d) ** 2, axis=-1))
+    partial u_values, as in the reference). ``buoy_weights`` (multi-chip
+    padding lanes) scale the tracking term per buoy."""
+    track = prob.h * jnp.sum((u_values - prob.u_d) ** 2, axis=-1)
+    if prob.buoy_weights is not None:
+        track = track * prob.buoy_weights[:, None]
+    part_a = 0.5 * jnp.sum(track)
     part_b = 0.5 * prob.alpha * jnp.sum(
         prob.bq.weights * jnp.sum(f_quad ** 2, axis=-1))
     return part_a + part_b
 
 
-def adjoint_rhs(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+def _adjoint_rhs_body(prob: OCPProblem, u: jnp.ndarray,
+                      grad_u: jnp.ndarray, x: jnp.ndarray,
+                      u_values: jnp.ndarray, mask: jnp.ndarray,
+                      x_raw: jnp.ndarray, kfail: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint ODE + point-source RHS over explicit buoy-axis arrays — the
+    buoy-parallel stage the multi-chip path shard_maps. ``buoy_weights``
+    (padding lanes) are dropped like escaped buoys in reference mode and
+    gated out of ``active_t`` in consistent mode."""
+    from .ode.adjoint import solve_adjoint_ode_consistent
+    # pallas backend: route the batched ∇u trajectory evaluation through
+    # the fused grid-eval kernel (matches the gather path to ~1e-12)
+    ode_grid = prob.grid if prob.ode_backend == "pallas" else None
+    w_b = prob.buoy_weights
+    if prob.adjoint_mode == "consistent":
+        mu = solve_adjoint_ode_consistent(
+            prob.space, grad_u, x_raw, u_values, prob.u_d,
+            mask, kfail, prob.h, grid=ode_grid)
+        t = jnp.arange(prob.nt)[None, :]
+        kf = kfail[:, None]
+        pre = t <= kf - 1
+        quirk = t == kf + 1                     # u_values[kf+1] = u(center)
+        m = mask[:, None]
+        x_eff = jnp.where(m[..., None],
+                          jnp.where(pre[..., None], x_raw, prob.center),
+                          x)
+        active_t = jnp.where(m, pre | quirk, True)
+        if w_b is not None:
+            active_t = active_t & (w_b[:, None] > 0)
+        return point_source_rhs(prob.space, u, x_eff, mu, prob.u_d, mask,
+                                prob.h, prob.center,
+                                method=prob.psrc_method, active_t=active_t)
+    mask_eff = mask if w_b is None else (mask | (w_b == 0))
+    mu = solve_adjoint_ode(prob.space, grad_u, x, u_values,
+                           prob.u_d, mask_eff, prob.h, grid=ode_grid)
+    return point_source_rhs(prob.space, u, x, mu, prob.u_d, mask_eff,
+                            prob.h, prob.center, method=prob.psrc_method)
+
+
+def adjoint_rhs(prob: OCPProblem, fwd: ForwardState,
+                adjoint_rhs_impl=None) -> jnp.ndarray:
     """∇u projection + adjoint ODE + point-source RHS — the adjoint solve's
     load vector b (``OCP_dolfin.py:328-366``), exposed separately so
     staged callers can run RHS and solve as separate device programs.
@@ -348,61 +511,67 @@ def adjoint_rhs(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
     contributions (μ over t ≤ kfail−1 on the raw trajectory, point sources
     at the raw positions plus the u(center) quirk term at kfail+1) so the
     gradient matches FD in escape regimes; identical to the reference path
-    when no buoy escapes."""
-    from .ode.adjoint import solve_adjoint_ode_consistent
+    when no buoy escapes. ``adjoint_rhs_impl`` overrides the buoy-axis
+    stage (multi-chip: a psum-reduced shard_map of ``_adjoint_rhs_body``).
+    """
     u, _ = prob.space.split(fwd.w)
     grad_u = prob.projector.project(prob.space, u)
-    # pallas backend: route the batched ∇u trajectory evaluation through
-    # the fused grid-eval kernel (matches the gather path to ~1e-12)
-    ode_grid = prob.grid if prob.ode_backend == "pallas" else None
-    if prob.adjoint_mode == "consistent":
-        mu = solve_adjoint_ode_consistent(
-            prob.space, grad_u, fwd.x_raw, fwd.u_values, prob.u_d,
-            fwd.mask, fwd.kfail, prob.h, grid=ode_grid)
-        t = jnp.arange(prob.nt)[None, :]
-        kf = fwd.kfail[:, None]
-        pre = t <= kf - 1
-        quirk = t == kf + 1                     # u_values[kf+1] = u(center)
-        m = fwd.mask[:, None]
-        x_eff = jnp.where(m[..., None],
-                          jnp.where(pre[..., None], fwd.x_raw, prob.center),
-                          fwd.x)
-        active_t = jnp.where(m, pre | quirk, True)
-        b = point_source_rhs(prob.space, u, x_eff, mu, prob.u_d, fwd.mask,
-                             prob.h, prob.center, method=prob.psrc_method,
-                             active_t=active_t)
-    else:
-        mu = solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
-                               prob.u_d, fwd.mask, prob.h, grid=ode_grid)
-        b = point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d, fwd.mask,
-                             prob.h, prob.center, method=prob.psrc_method)
-    return b
+    body = adjoint_rhs_impl or _adjoint_rhs_body
+    return body(prob, u, grad_u, fwd.x, fwd.u_values, fwd.mask,
+                fwd.x_raw, fwd.kfail)
 
 
 def adjoint_operators(prob: OCPProblem, w: jnp.ndarray):
-    """(fine adjoint operator, coarse adjoint operator or None)."""
+    """(fine adjoint operator, coarse adjoint operator or None). The
+    coarse assembly only exists for legacy contexts without a precomputed
+    coarse hierarchy — build_problem's contexts never need it."""
     op = assemble.adjoint_operator(prob.space, prob.bq, w, prob.bc_dofs)
     op_c = None
-    if prob.linear_solver == "mg":
+    if (prob.linear_solver == "mg" and prob.mg.ainv_c is None
+            and prob.mg.sub is None):
         w_c = mg_mod.inject_state(prob.mg, prob.space, w)
         op_c = assemble.adjoint_operator(prob.mg.space_c, prob.mg.bq_c,
                                          w_c, prob.mg.bc_dofs_c)
     return op, op_c
 
 
-def _solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+def _solve_adjoint_flagged(prob: OCPProblem, fwd: ForwardState,
+                           adjoint_rhs_impl=None, matvec_of=None
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Adjoint RHS + adjoint NS solve (``OCP_dolfin.py:328-371``).
-    Returns the mixed adjoint state z."""
-    b = adjoint_rhs(prob, fwd)
+    Returns (mixed adjoint state z, converged flag). The flag is only
+    informative on the mg path — the dense paths are unconditionally
+    accurate (direct solve / reuse path with fresh-LU fallback)."""
+    b = adjoint_rhs(prob, fwd, adjoint_rhs_impl=adjoint_rhs_impl)
     op, op_c = adjoint_operators(prob, fwd.w)
     if prob.linear_solver == "mg":
-        return mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
-                                        prob.bc_vals).x
+        sol = mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
+                                       prob.bc_vals, matvec_of=matvec_of)
+        return sol.x, sol.converged
+    if prob.adjoint_reuse_lu and fwd.newton.fac is not None:
+        # one factorization per GD iteration: the Newton solve's float32
+        # LU factors, transposed, precondition the adjoint solve (the
+        # adjoint operator IS the transposed Jacobian at ν=1); a fresh-LU
+        # lax.cond fallback guarantees accuracy unconditionally
+        z, _ = solve_operator_reuse_t(op, b, prob.bc_vals, fwd.newton.fac,
+                                      refine_iters=prob.refine_iters)
+        return z, jnp.asarray(True)
     return solve_operator(op, b, prob.bc_vals,
-                          refine_iters=prob.refine_iters)
+                          refine_iters=prob.refine_iters), jnp.asarray(True)
+
+
+def _solve_adjoint(prob: OCPProblem, fwd: ForwardState) -> jnp.ndarray:
+    return _solve_adjoint_flagged(prob, fwd)[0]
 
 
 solve_adjoint = jax.jit(_solve_adjoint)
+
+
+def sum_mask(prob: OCPProblem, mask: jnp.ndarray) -> jnp.ndarray:
+    """Escaped-buoy count, weight-aware (padding lanes never count)."""
+    if prob.buoy_weights is None:
+        return jnp.sum(mask)
+    return jnp.sum(mask * prob.buoy_weights)
 
 
 def reduced_gradient(prob: OCPProblem, f: Control,
@@ -532,11 +701,13 @@ class GDStepResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("use_line_search", "tau", "c_armijo",
-                                   "lr_min", "max_ls_iters"))
+                                   "lr_min", "max_ls_iters", "ode_impl",
+                                   "adjoint_rhs_impl", "matvec_of"))
 def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
             use_line_search: bool = True, tau: float = 0.5,
             c_armijo: float = 1e-4, lr_min: float = 1e-6,
-            max_ls_iters: int = 80) -> GDStepResult:
+            max_ls_iters: int = 80, ode_impl=None, adjoint_rhs_impl=None,
+            matvec_of=None) -> GDStepResult:
     """One full gradient-descent iteration (``OCP_dolfin.py:309-450``),
     including the Armijo backtracking line search as a lax.while_loop.
 
@@ -544,9 +715,17 @@ def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
     (caller passes the running LR back in); the accepted line-search state
     is discarded (the next outer iteration re-solves); J is recorded with
     the OLD u_values and the NEW control.
+
+    The three static executor overrides are the multi-chip hooks
+    (parallel/sharding.py): ``ode_impl`` shard_maps the primal ODE over
+    the buoy axis, ``adjoint_rhs_impl`` the adjoint ODE + point sources,
+    and ``matvec_of`` dof-shards the mg Krylov matvec — ONE line-search /
+    update / divergence implementation serves every device layout.
     """
-    fwd = forward(prob, f.quad)
-    z = solve_adjoint(prob, fwd)
+    fwd = _forward(prob, f.quad, ode_impl=ode_impl, matvec_of=matvec_of)
+    z, adj_ok = _solve_adjoint_flagged(prob, fwd,
+                                       adjoint_rhs_impl=adjoint_rhs_impl,
+                                       matvec_of=matvec_of)
     g = reduced_gradient(prob, f, z)
 
     inner0 = jnp.asarray(0)
@@ -559,7 +738,8 @@ def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
         def ls_cond(state):
             lr_, it = state
             f_ls = f.quad + lr_ * df.quad
-            res = forward(prob, f_ls)
+            res = _forward(prob, f_ls, ode_impl=ode_impl,
+                           matvec_of=matvec_of)
             j_new = cost(prob, res.u_values, f_ls)
             accept = (j_old - j_new) >= lr_ * cond_thresh  # (:413)
             return (~accept) & (it < max_ls_iters)
@@ -578,6 +758,7 @@ def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
     j_rec = cost(prob, fwd.u_values, f_new.quad)            # (:429)
     u, _ = prob.space.split(fwd.w)
     div_u = assemble.divergence_l2(prob.space, u)           # (:430)
-    diverged = (~jnp.isfinite(fwd.newton.residual_norm)) | (~jnp.isfinite(j_rec))
+    diverged = ((~jnp.isfinite(fwd.newton.residual_norm))
+                | (~jnp.isfinite(j_rec)) | (~adj_ok))
     return GDStepResult(f_new, lr, j_rec, div_u, fwd, z, g, gradj, inner,
                         diverged)

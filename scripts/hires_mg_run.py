@@ -158,7 +158,14 @@ def main():
     from ocean_jax import system as sys_mod
     log(f"backend: {jax.default_backend()}", fh)
 
-    summary = {"backend": jax.default_backend(), "runs": {}}
+    # merge into the existing study (round-2 Nx=64/96 entries stay)
+    summary_path = os.path.join(OUT, "summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as sf:
+            summary = json.load(sf)
+        summary["backend"] = jax.default_backend()
+    else:
+        summary = {"backend": jax.default_backend(), "runs": {}}
 
     # --- Nx=32 cross-check: mg path equals the dense path -----------------
     if not args.skip_crosscheck:
@@ -189,8 +196,13 @@ def main():
                         linear_solver="mg")
         t0 = time.time()
         prob = sys_mod.build_problem(cfg)
+        depth, c = 1, prob.mg
+        while c.sub is not None:
+            depth, c = depth + 1, c.sub
         log(f"built Nx={nx}: ndof={prob.space.ndof} "
-            f"coarse={prob.mg.space_c.ndof} ({time.time()-t0:.1f}s)", fh)
+            f"coarse={prob.mg.space_c.ndof} mg_levels={depth + 1} "
+            f"leaf_inv_n={0 if c.ainv_c is None else c.ainv_c.shape[0]} "
+            f"({time.time()-t0:.1f}s)", fh)
         f = sys_mod.initial_control(prob, case=4)
         if args.staged:
             js, times, nit = run_gd_staged(
@@ -207,6 +219,7 @@ def main():
         summary["runs"][f"nx{nx}"] = {
             "ndof": prob.space.ndof,
             "coarse_ndof": prob.mg.space_c.ndof,
+            "mg_levels": depth + 1,
             "lr": args.lr, "line_search": args.line_search,
             "J": js, "descended": bool(js[-1] < js[0]),
             "seconds_per_iter": times,

@@ -109,6 +109,35 @@ def test_mg_lshape_staircase():
     assert float(jnp.max(jnp.abs(rm.w - rd.w))) < 5e-9
 
 
+def test_multilevel_vcycle_parity():
+    """Multi-LEVEL hierarchy (forced 3 grids via a tiny leaf budget —
+    the Nx≥192 configuration where no dense inverse fits any level but
+    the coarsest): full GD step equals the dense path."""
+    prob = _problem(24, "mg", K=2, seed=3)
+    ctx = sys_mod.build_mg_hierarchy(
+        OCPConfig(unit_square_resolution=24, ud_experiment="2_buoys",
+                  T=0.05, dt=0.005),
+        prob.space, prob.bq, prob.bc_dofs, 24, budget=800)
+    assert ctx.ainv_c is None and ctx.sub is not None   # genuinely deep
+    assert ctx.op_vel_c is not None
+    depth = 1
+    c = ctx
+    while c.sub is not None:
+        c = c.sub
+        depth += 1
+    assert depth >= 2 and c.ainv_c is not None
+    pm = dataclasses.replace(prob, mg=ctx)
+    pd = _problem(24, "dense", K=2, seed=3)
+    f = sys_mod.initial_control(pd, case=0)
+    lr = jnp.asarray(5.0)
+    a = sys_mod.gd_step(pd, f, lr, use_line_search=True, max_ls_iters=10)
+    b = sys_mod.gd_step(pm, f, lr, use_line_search=True, max_ls_iters=10)
+    assert not bool(b.diverged)
+    assert float(a.lr) == float(b.lr)
+    assert abs(float(a.J) - float(b.J)) <= 1e-9 * abs(float(a.J))
+    assert float(jnp.max(jnp.abs(a.f_new.quad - b.f_new.quad))) < 1e-9
+
+
 def test_auto_solver_selection():
     """linear_solver="auto" picks dense below the dof threshold and mg
     above it (build-only check; no big solve)."""
