@@ -9,17 +9,25 @@ devices with ``shard_map`` over a 1-D ``jax.sharding.Mesh``:
   * the point-source RHS is accumulated per shard and ``psum``-reduced
     over the ICI (replacing gen-1's ``b.ghostUpdate``/rank-aware
     PointSource ownership),
-  * the tracking cost is a ``psum`` (replacing ``comm.allreduce``),
-  * NS/adjoint saddle solves run replicated (dofs are small relative to
-    the 10⁴-buoy ODE workload; dof sharding is the high-resolution
-    extension path).
+  * the tracking cost is a global reduction over the sharded values
+    (GSPMD inserts the collective — replacing ``comm.allreduce``),
+  * NS/adjoint saddle solves run replicated on the 1-D mesh, and with a
+    CELL-sharded Krylov matvec on the 2-D ("dof", "buoy") mesh.
+
+The sharded steps are the SAME ``system.gd_step`` as the single-chip fast
+path — the buoy-axis stages are injected as shard_map'd executors
+(``ode_impl``/``adjoint_rhs_impl``) and the dof axis as ``matvec_of``, so
+every fast-path option (Pallas ODE kernel, sorted point sources, LU-reuse
+Newton, transposed-LU adjoint) and the Armijo semantics are shared, not
+re-implemented.
 
 Buoy counts are padded to a multiple of the device count; padded lanes
-carry weight 0 everywhere.
+carry ``buoy_weights`` 0 and drop out of cost/adjoint/escape counting.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -28,11 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import system as sys_mod
-from ..adjoint.point_sources import point_source_rhs
-from ..fem import assemble
-from ..fem.interpolate import boundary_eval_velocity
-from ..ode import solve_primal_ode, solve_adjoint_ode
-from ..solve import solve_operator
+from ..control import Control
 
 
 def make_buoy_mesh(devices=None) -> Mesh:
@@ -65,6 +69,63 @@ def pad_buoys(u_d: jnp.ndarray, x0: jnp.ndarray, n_dev: int,
     return u_d_p, x0_p, weights
 
 
+def pad_problem(prob: "sys_mod.OCPProblem", n_dev: int
+                ) -> "sys_mod.OCPProblem":
+    """The problem with its buoy axis padded to a multiple of n_dev and
+    ``buoy_weights`` marking the real lanes."""
+    u_d_p, x0_p, wts = pad_buoys(prob.u_d, prob.x0, n_dev, prob.center)
+    return dataclasses.replace(prob, u_d=u_d_p, x0=x0_p, buoy_weights=wts)
+
+
+def _strip_buoys(prob):
+    """A 1-lane view of the problem (the buoy arrays are passed to
+    shard_map separately, with sharded specs; the rest of the problem is
+    replicated)."""
+    return dataclasses.replace(prob, u_d=prob.u_d[:1], x0=prob.x0[:1],
+                               buoy_weights=None)
+
+
+def make_buoy_ode_impl(mesh: Mesh):
+    """shard_map of ``system._primal_ode`` over the "buoy" mesh axis —
+    per-shard ODE scans (or Pallas kernels) on local buoy lanes."""
+    def impl(prob, u):
+        def shard(prob_nb, u_, x0_s, ud_s, w_s):
+            prob_s = dataclasses.replace(prob_nb, u_d=ud_s, x0=x0_s,
+                                         buoy_weights=w_s)
+            return sys_mod._primal_ode(prob_s, u_)
+        return jax.shard_map(
+            shard, mesh=mesh,
+            in_specs=(P(), P(), P("buoy"), P("buoy"), P("buoy")),
+            out_specs=P("buoy"))(
+                _strip_buoys(prob), u, prob.x0, prob.u_d,
+                prob.buoy_weights)
+    return impl
+
+
+def make_buoy_adjoint_rhs_impl(mesh: Mesh):
+    """shard_map of ``system._adjoint_rhs_body`` over the "buoy" mesh
+    axis: per-shard adjoint ODE + point-source partial RHS, psum-reduced
+    over the ICI (the ghost-update/rank-ownership role of gen-1's MPI
+    PointSource, SURVEY §5.8)."""
+    def impl(prob, u, grad_u, x, u_values, mask, x_raw, kfail):
+        def shard(prob_nb, u_, gu_, x_s, uv_s, m_s, xr_s, kf_s,
+                  x0_s, ud_s, w_s):
+            prob_s = dataclasses.replace(prob_nb, u_d=ud_s, x0=x0_s,
+                                         buoy_weights=w_s)
+            b_local = sys_mod._adjoint_rhs_body(prob_s, u_, gu_, x_s,
+                                                uv_s, m_s, xr_s, kf_s)
+            return jax.lax.psum(b_local, "buoy")
+        return jax.shard_map(
+            shard, mesh=mesh,
+            in_specs=(P(), P(), P(), P("buoy"), P("buoy"), P("buoy"),
+                      P("buoy"), P("buoy"), P("buoy"), P("buoy"),
+                      P("buoy")),
+            out_specs=P())(
+                _strip_buoys(prob), u, grad_u, x, u_values, mask,
+                x_raw, kfail, prob.x0, prob.u_d, prob.buoy_weights)
+    return impl
+
+
 def make_sharded_step(prob: "sys_mod.OCPProblem", mesh: Mesh,
                       use_line_search: bool = False, tau: float = 0.5,
                       c_armijo: float = 1e-4, lr_min: float = 1e-6,
@@ -73,100 +134,35 @@ def make_sharded_step(prob: "sys_mod.OCPProblem", mesh: Mesh,
     (f_quad', f_p2', lr', J, mask_count, diverged).
 
     The returned callable is the full training step of the flagship model,
-    sharded over the buoy axis of ``mesh``.
+    sharded over the buoy axis of ``mesh`` — ``system.gd_step`` itself,
+    with the two buoy-axis stages swapped for shard_map'd executors. All
+    fast-path options travel with ``prob`` (ode_backend, psrc_method,
+    newton_reuse_lu, adjoint_reuse_lu), and the Armijo loop is the
+    single-chip one, not a copy.
     """
-    n_dev = mesh.devices.size
-    u_d_p, x0_p, wts = pad_buoys(prob.u_d, prob.x0, n_dev, prob.center)
-
-    def buoy_forward_shard(u, x0_s, u_d_s, w_s):
-        """Per-shard: primal ODE + local tracking cost."""
-        ode = solve_primal_ode(prob.space, u, x0_s, prob.h, prob.nt,
-                               prob.center)
-        local = 0.5 * jnp.sum(
-            prob.h * jnp.sum((ode.u_values - u_d_s) ** 2, axis=-1)
-            * w_s[:, None])
-        part_a = jax.lax.psum(local, "buoy")
-        return ode.x, ode.u_values, ode.mask, part_a
-
-    def buoy_adjoint_shard(u, grad_u, x_s, uv_s, u_d_s, mask_s, w_s):
-        """Per-shard: adjoint ODE + point-source partial RHS, psum'd."""
-        mu = solve_adjoint_ode(prob.space, grad_u, x_s, uv_s, u_d_s,
-                               mask_s, prob.h)
-        mask_eff = mask_s | (w_s == 0)
-        b_local = point_source_rhs(prob.space, u, x_s, mu, u_d_s,
-                                   mask_eff, prob.h, prob.center)
-        return jax.lax.psum(b_local, "buoy")
-
-    fwd_sharded = jax.shard_map(
-        buoy_forward_shard, mesh=mesh,
-        in_specs=(P(), P("buoy"), P("buoy"), P("buoy")),
-        out_specs=(P("buoy"), P("buoy"), P("buoy"), P()))
-    adj_sharded = jax.shard_map(
-        buoy_adjoint_shard, mesh=mesh,
-        in_specs=(P(), P(), P("buoy"), P("buoy"), P("buoy"), P("buoy"),
-                  P("buoy")),
-        out_specs=P())
-
-    def tracking_cost(u, f_quad):
-        """Replicated boundary (Tikhonov) part of J."""
-        return 0.5 * prob.alpha * jnp.sum(
-            prob.bq.weights * jnp.sum(f_quad ** 2, axis=-1))
+    n_buoy_dev = mesh.shape["buoy"]
+    prob_p = pad_problem(prob, n_buoy_dev)
+    ode_impl = make_buoy_ode_impl(mesh)
+    adj_impl = make_buoy_adjoint_rhs_impl(mesh)
 
     @jax.jit
     def step(f_quad, f_p2, lr):
-        res = sys_mod.solve_ns(prob, f_quad)          # replicated solve
-        u, _ = prob.space.split(res.w)
-        x, uv, mask, part_a = fwd_sharded(u, x0_p, u_d_p, wts)
-        grad_u = prob.projector.project(prob.space, u)
-        b = adj_sharded(u, grad_u, x, uv, u_d_p, mask, wts)
-        op = assemble.adjoint_operator(prob.space, prob.bq, res.w,
-                                       prob.bc_dofs)
-        z = solve_operator(op, b, prob.bc_vals)
-        zu, _ = prob.space.split(z)
-        z_quad = boundary_eval_velocity(prob.space, prob.bq, zu)
-        g_quad = prob.alpha * f_quad - z_quad
-        g_p2 = prob.alpha * f_p2 - zu
-
-        if use_line_search:
-            gradj = -jnp.sum(prob.bq.weights
-                             * jnp.sum(g_quad ** 2, axis=-1))
-            cond_thresh = -c_armijo * gradj
-            j_old = part_a + tracking_cost(u, f_quad)
-
-            def ls_cost(lr_):
-                fq = f_quad - lr_ * g_quad
-                r = sys_mod.solve_ns(prob, fq)
-                u_ls, _ = prob.space.split(r.w)
-                _, _, _, pa = fwd_sharded(u_ls, x0_p, u_d_p, wts)
-                return pa + tracking_cost(u_ls, fq)
-
-            def ls_cond(state):
-                lr_, it = state
-                accept = (j_old - ls_cost(lr_)) >= lr_ * cond_thresh
-                return (~accept) & (it < max_ls_iters)
-
-            def ls_body(state):
-                lr_, it = state
-                return (jnp.maximum(tau * lr_, lr_min), it + 1)
-
-            lr, _ = jax.lax.while_loop(ls_cond, ls_body,
-                                       (lr, jnp.asarray(0)))
-
-        f_quad_new = f_quad - lr * g_quad
-        f_p2_new = f_p2 - lr * g_p2
-        j_rec = part_a + tracking_cost(u, f_quad_new)
-        mask_count = jnp.sum(mask * wts)
-        # the LU-reuse Newton fast path can diverge on stale factors
-        # (solve/newton.py:79-86); surface it so callers can re-solve
-        # with fresh factorizations instead of propagating NaN
-        diverged = ((~jnp.isfinite(res.residual_norm))
-                    | (~jnp.isfinite(j_rec)))
-        return f_quad_new, f_p2_new, lr, j_rec, mask_count, diverged
+        res = sys_mod.gd_step(prob_p, Control(f_quad, f_p2), lr,
+                              use_line_search=use_line_search, tau=tau,
+                              c_armijo=c_armijo, lr_min=lr_min,
+                              max_ls_iters=max_ls_iters,
+                              ode_impl=ode_impl, adjoint_rhs_impl=adj_impl)
+        mask_count = sys_mod.sum_mask(prob_p, res.fwd.mask)
+        return (res.f_new.quad, res.f_new.p2, res.lr, res.J, mask_count,
+                res.diverged)
 
     return step
 
 
-def make_sharded_step_2d(prob: "sys_mod.OCPProblem", mesh: Mesh):
+def make_sharded_step_2d(prob: "sys_mod.OCPProblem", mesh: Mesh,
+                         use_line_search: bool = False, tau: float = 0.5,
+                         c_armijo: float = 1e-4, lr_min: float = 1e-6,
+                         max_ls_iters: int = 40):
     """Full GD step over a 2-D ("dof", "buoy") mesh: the NS Newton and
     adjoint saddle solves run FGMRES whose exact fp64 matvec is CELL-
     sharded over the "dof" axis (psum over ICI — the PETSc-distributed-
@@ -174,94 +170,34 @@ def make_sharded_step_2d(prob: "sys_mod.OCPProblem", mesh: Mesh):
     data parallelism for the ODE / point-source / cost stages.
 
     Requires ``prob.linear_solver == "mg"`` — at multi-chip scale the dense
-    LU is already past its cap, so the dof-sharded path IS the two-grid
-    FGMRES path; the (small) two-grid preconditioner stays replicated.
+    LU is already past its cap, so the dof-sharded path IS the multigrid
+    FGMRES path; the (small) preconditioner hierarchy stays replicated.
 
     Returns (f_quad, f_p2, lr) → (f_quad', f_p2', lr', J, mask_count,
-    diverged), line search off (the limits configuration).
+    diverged). Same unified ``system.gd_step`` as everywhere else.
     """
-    from ..solve import mg as mg_mod
     from .dof_sharding import make_sharded_matvec
 
     assert prob.linear_solver == "mg" and prob.mg is not None, (
         "the 2-D sharded step runs the mg linear-solver path")
     assert mesh.axis_names == ("dof", "buoy")
-    n_buoy_dev = mesh.shape["buoy"]
-    u_d_p, x0_p, wts = pad_buoys(prob.u_d, prob.x0, n_buoy_dev, prob.center)
+    prob_p = pad_problem(prob, mesh.shape["buoy"])
+    ode_impl = make_buoy_ode_impl(mesh)
+    adj_impl = make_buoy_adjoint_rhs_impl(mesh)
 
     def matvec_of(op):
         return make_sharded_matvec(op, mesh)
 
-    def buoy_forward_shard(u, x0_s, u_d_s, w_s):
-        ode = solve_primal_ode(prob.space, u, x0_s, prob.h, prob.nt,
-                               prob.center)
-        local = 0.5 * jnp.sum(
-            prob.h * jnp.sum((ode.u_values - u_d_s) ** 2, axis=-1)
-            * w_s[:, None])
-        return ode.x, ode.u_values, ode.mask, jax.lax.psum(local, "buoy")
-
-    def buoy_adjoint_shard(u, grad_u, x_s, uv_s, u_d_s, mask_s, w_s):
-        mu = solve_adjoint_ode(prob.space, grad_u, x_s, uv_s, u_d_s,
-                               mask_s, prob.h)
-        mask_eff = mask_s | (w_s == 0)
-        b_local = point_source_rhs(prob.space, u, x_s, mu, u_d_s,
-                                   mask_eff, prob.h, prob.center)
-        return jax.lax.psum(b_local, "buoy")
-
-    fwd_sharded = jax.shard_map(
-        buoy_forward_shard, mesh=mesh,
-        in_specs=(P(), P("buoy"), P("buoy"), P("buoy")),
-        out_specs=(P("buoy"), P("buoy"), P("buoy"), P()))
-    adj_sharded = jax.shard_map(
-        buoy_adjoint_shard, mesh=mesh,
-        in_specs=(P(), P(), P("buoy"), P("buoy"), P("buoy"), P("buoy"),
-                  P("buoy")),
-        out_specs=P())
-
     @jax.jit
     def step(f_quad, f_p2, lr):
-        def residual(w):
-            return assemble.ns_residual(prob.space, prob.bq, w, f_quad,
-                                        prob.nu)
-
-        def operator(w):
-            return assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
-                                        prob.bc_dofs)
-
-        def coarse_operator(w):
-            w_c = mg_mod.inject_state(prob.mg, prob.space, w)
-            return assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c,
-                                        w_c, prob.nu, prob.mg.bc_dofs_c)
-
-        res = mg_mod.newton_solve_mg(
-            residual, operator, coarse_operator, prob.mg, prob.space,
-            jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals,
-            matvec_of=matvec_of)
-        u, _ = prob.space.split(res.w)
-        x, uv, mask, part_a = fwd_sharded(u, x0_p, u_d_p, wts)
-        grad_u = prob.projector.project(prob.space, u)
-        b = adj_sharded(u, grad_u, x, uv, u_d_p, mask, wts)
-        op = assemble.adjoint_operator(prob.space, prob.bq, res.w,
-                                       prob.bc_dofs)
-        w_c = mg_mod.inject_state(prob.mg, prob.space, res.w)
-        op_c = assemble.adjoint_operator(prob.mg.space_c, prob.mg.bq_c,
-                                         w_c, prob.mg.bc_dofs_c)
-        adj = mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
-                                       prob.bc_vals, matvec_of=matvec_of)
-        zu, _ = prob.space.split(adj.x)
-        z_quad = boundary_eval_velocity(prob.space, prob.bq, zu)
-        g_quad = prob.alpha * f_quad - z_quad
-        g_p2 = prob.alpha * f_p2 - zu
-
-        f_quad_new = f_quad - lr * g_quad
-        f_p2_new = f_p2 - lr * g_p2
-        part_b = 0.5 * prob.alpha * jnp.sum(
-            prob.bq.weights * jnp.sum(f_quad_new ** 2, axis=-1))
-        j_rec = part_a + part_b
-        mask_count = jnp.sum(mask * wts)
-        diverged = ((~jnp.isfinite(res.residual_norm))
-                    | (~jnp.isfinite(j_rec))
-                    | (~adj.converged))
-        return f_quad_new, f_p2_new, lr, j_rec, mask_count, diverged
+        res = sys_mod.gd_step(prob_p, Control(f_quad, f_p2), lr,
+                              use_line_search=use_line_search, tau=tau,
+                              c_armijo=c_armijo, lr_min=lr_min,
+                              max_ls_iters=max_ls_iters,
+                              ode_impl=ode_impl, adjoint_rhs_impl=adj_impl,
+                              matvec_of=matvec_of)
+        mask_count = sys_mod.sum_mask(prob_p, res.fwd.mask)
+        return (res.f_new.quad, res.f_new.p2, res.lr, res.J, mask_count,
+                res.diverged)
 
     return step

@@ -10,6 +10,17 @@ from ocean_jax import system as sys_mod
 from ocean_jax.parallel import make_buoy_mesh, make_sharded_step, pad_buoys
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """The 2-D dof×buoy sharded step is the largest program in the suite;
+    compiling it after ~90 tests' worth of live XLA:CPU executables has
+    segfaulted the compiler (full-suite-only — every bisected subset
+    passes). Dropping the accumulated compilation caches restores the
+    isolation conditions under which the program compiles cleanly."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def tiny_problem():
     rng = np.random.default_rng(0)
