@@ -31,7 +31,8 @@ def _j_probe(prob, f_quad):
     the identical probe cost. The one reference behavior deliberately NOT
     reproduced is the aliasing side effect: a buoy that escapes only inside
     a probe mutates the caller's buoy_mask in place, polluting the outer
-    iteration's line search; our probes are pure."""
+    iteration's line search; our probes are pure (README "Deliberate
+    deviations" #1)."""
     forward_fn, _ = sys_mod.stage_fns(prob)
     fwd = forward_fn(prob, f_quad)
     return float(sys_mod.cost(prob, fwd.u_values, f_quad))

@@ -25,7 +25,8 @@ from ..opt.driver import run_gradient_descent
 
 
 def run(cfg: OCPConfig, initial_case: int = 0,
-        write_artifacts: bool = True, verbose: bool = True):
+        write_artifacts: bool = True, verbose: bool = True,
+        plot_all_buoys: bool = False):
     """Run the full OCP experiment; returns the GDRunResult plus problem."""
     prob = sys_mod.build_problem(cfg)
     mesh = (l_shape_mesh(cfg.L_shape_resolution, cfg.mesh_diagonal)
@@ -69,11 +70,13 @@ def run(cfg: OCPConfig, initial_case: int = 0,
         on_iteration=on_iteration, verbose=verbose)
 
     if write_artifacts:
-        _write_final_artifacts(cfg, prob, mesh, result, run_dir)
+        _write_final_artifacts(cfg, prob, mesh, result, run_dir,
+                               plot_all_buoys=plot_all_buoys)
     return result, prob
 
 
-def _write_final_artifacts(cfg, prob, mesh, result, run_dir):
+def _write_final_artifacts(cfg, prob, mesh, result, run_dir,
+                           plot_all_buoys=False):
     """The post-loop artifact block (``OCP_dolfin.py:452-588``)."""
     plots.plot_mesh(mesh, run_dir.path("mesh.png"), l_shape=cfg.L_shape)
     artifacts.write_timings(run_dir.path("timings.txt"),
@@ -105,11 +108,18 @@ def _write_final_artifacts(cfg, prob, mesh, result, run_dir):
 
     # velocity-comparison time series (:554-567). The reference plots
     # every buoy; we match that up to K=100 and cap beyond (10⁴ PNGs is
-    # not a useful artifact set — documented deviation)
+    # not a useful artifact set — documented deviation, README
+    # "Deliberate deviations" #2; plot_all_buoys=True restores
+    # reference-exact output at any K)
     time_interval = np.linspace(cfg.t0, cfg.T, prob.nt)
     u_d = np.asarray(prob.u_d)
     uv = result.last_u_values
-    for k in range(prob.K if prob.K <= 100 else 12):
+    n_plot = prob.K if (plot_all_buoys or prob.K <= 100) else 12
+    if n_plot < prob.K:
+        with open(run_dir.path("variables.txt"), "a") as fh:
+            fh.write(f"per-buoy velocity plots capped at {n_plot} of "
+                     f"{prob.K} buoys (plot_all_buoys=False)\n")
+    for k in range(n_plot):
         plots.plot_velocity_comparison(
             time_interval, u_d, uv, k, run_dir.path(f"ud_plot_buoy_{k}.png"))
 
