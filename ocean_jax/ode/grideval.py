@@ -55,37 +55,71 @@ class GridEval:
         return cls(*children, *aux)
 
 
+def _nearest_line_index(lines: np.ndarray, vals: np.ndarray,
+                        what: str) -> np.ndarray:
+    """Index of the grid line each value sits on (graded tensor grids:
+    lines are non-uniform, so indices come from a nearest-line search
+    instead of the closed-form division)."""
+    idx = np.clip(np.searchsorted(lines, vals), 1, len(lines) - 1)
+    left_closer = (vals - lines[idx - 1]) < (lines[idx] - vals)
+    idx = np.where(left_closer, idx - 1, idx)
+    tol = 1e-9 * max(1.0, float(np.abs(lines).max()))
+    if not np.all(np.abs(lines[idx] - vals) <= tol):
+        raise ValueError(f"{what} do not lie on the structured half-grid")
+    return idx.astype(np.int64)
+
+
 def make_grideval(space: TaylorHoodSpace) -> GridEval:
     """Build the dof→half-grid map (host-side, one-time setup).
 
-    Works for every structured domain (square, L-shape, pipe): the grid
-    covers the bounding box; nodes with no dof simply stay zero in the
-    scattered image and are never read by an unmasked evaluation.
+    Works for every structured domain (square, L-shape, pipe — uniform or
+    locally graded): the grid covers the bounding box; nodes with no dof
+    simply stay zero in the scattered image and are never read by an
+    unmasked evaluation. On graded tensor grids (``graded_lines``) the
+    half-grid node positions interleave the vertex lines with the interval
+    midpoints — exactly where the P2 edge-midpoint dofs sit — and point
+    location runs per-axis searchsorted instead of the closed form.
     """
     loc = space.locator
-    if not loc.uniform:
-        raise ValueError(
-            "grid/pallas ODE backends need a uniform structured mesh; "
-            "locally-graded meshes use the gather backend")
     nx, ny = loc.grid_shape
     x0, y0 = loc.origin
     hx, hy = loc.spacing
     coords = np.asarray(space.dof_coords_p2)
-
-    gx = np.rint((coords[:, 0] - x0) / (0.5 * hx)).astype(np.int64)
-    gy = np.rint((coords[:, 1] - y0) / (0.5 * hy)).astype(np.int64)
     Hx, Hy = 2 * nx + 1, 2 * ny + 1
-    if (gx.min() < 0 or gx.max() >= Hx or gy.min() < 0 or gy.max() >= Hy
-            or not np.allclose(coords[:, 0], x0 + gx * 0.5 * hx)
-            or not np.allclose(coords[:, 1], y0 + gy * 0.5 * hy)):
-        raise ValueError("P2 dofs do not lie on the structured half-grid")
+
+    if loc.uniform:
+        gx = np.rint((coords[:, 0] - x0) / (0.5 * hx)).astype(np.int64)
+        gy = np.rint((coords[:, 1] - y0) / (0.5 * hy)).astype(np.int64)
+        if (gx.min() < 0 or gx.max() >= Hx or gy.min() < 0
+                or gy.max() >= Hy
+                or not np.allclose(coords[:, 0], x0 + gx * 0.5 * hx)
+                or not np.allclose(coords[:, 1], y0 + gy * 0.5 * hy)):
+            raise ValueError(
+                "P2 dofs do not lie on the structured half-grid")
+    else:
+        xs = np.asarray(loc.xs_lines)
+        ys = np.asarray(loc.ys_lines)
+        xs_half = np.empty(Hx)
+        xs_half[0::2] = xs
+        xs_half[1::2] = 0.5 * (xs[:-1] + xs[1:])
+        ys_half = np.empty(Hy)
+        ys_half[0::2] = ys
+        ys_half[1::2] = 0.5 * (ys[:-1] + ys[1:])
+        gx = _nearest_line_index(xs_half, coords[:, 0], "P2 dofs")
+        gy = _nearest_line_index(ys_half, coords[:, 1], "P2 dofs")
     node = gy * Hx + gx
     if len(np.unique(node)) != len(node):
         raise ValueError("duplicate half-grid nodes in dof map")
 
     n_p1 = space.n_p1
-    vx = np.rint((coords[:n_p1, 0] - x0) / hx).astype(np.int64)
-    vy = np.rint((coords[:n_p1, 1] - y0) / hy).astype(np.int64)
+    if loc.uniform:
+        vx = np.rint((coords[:n_p1, 0] - x0) / hx).astype(np.int64)
+        vy = np.rint((coords[:n_p1, 1] - y0) / hy).astype(np.int64)
+    else:
+        vx = _nearest_line_index(np.asarray(loc.xs_lines),
+                                 coords[:n_p1, 0], "P1 dofs")
+        vy = _nearest_line_index(np.asarray(loc.ys_lines),
+                                 coords[:n_p1, 1], "P1 dofs")
     vnode = vy * (nx + 1) + vx
 
     return GridEval(
@@ -114,10 +148,11 @@ def grad_to_grid(ge: GridEval, g: jnp.ndarray) -> jnp.ndarray:
 
 def _square_coords(loc: Locator, points: jnp.ndarray):
     """Owning grid square (ix, iy) and local coords (s, t) ∈ [0,1]² for
-    (clamped) points — arithmetic only, mirrors ``locate_points``."""
-    x0, y0 = loc.origin
+    (clamped) points — mirrors ``locate_points``: closed-form arithmetic
+    on uniform grids, per-axis searchsorted on graded tensor grids
+    (``mesh.locate._square_index``)."""
+    from ..mesh.locate import _square_index
     hx, hy = loc.spacing
-    nx, ny = loc.grid_shape
     xmin, ymin, xmax, ymax = loc.extent
     px = jnp.clip(points[..., 0], xmin, xmax)
     py = jnp.clip(points[..., 1], ymin, ymax)
@@ -125,11 +160,7 @@ def _square_coords(loc: Locator, points: jnp.ndarray):
         cx, cy = loc.lshape_corner
         in_block = (px < cx) & (py > cy)
         py = jnp.where(in_block, cy - 0.5 * hy, py)
-    fx = (px - x0) / hx
-    fy = (py - y0) / hy
-    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
-    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
-    return ix, iy, fx - ix, fy - iy
+    return _square_index(loc, px, py)
 
 
 def p2_patch_weights(s: jnp.ndarray, t: jnp.ndarray,

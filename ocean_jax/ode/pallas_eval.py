@@ -212,6 +212,10 @@ def eval_p1_tensor_pallas(grid: GridEval, g_grid: jnp.ndarray,
     if loc.hole is not None:
         raise NotImplementedError(
             "pallas eval does not support hole domains")
+    if not loc.uniform:
+        raise NotImplementedError(
+            "pallas eval needs a uniform grid; graded tensor meshes use "
+            "the XLA grideval path")
     shape = points.shape[:-1]
     pts = points.reshape(-1, 2)
     runner = _run_eval if interpret else _run_eval_jit

@@ -385,6 +385,11 @@ def solve_primal_ode_pallas(space: TaylorHoodSpace, grid: GridEval,
         raise NotImplementedError(
             "pallas ODE backend does not support hole domains; use "
             "ode_backend='grid'")
+    if not loc.uniform:
+        raise NotImplementedError(
+            "pallas ODE backend needs a uniform grid (the in-kernel "
+            "index arithmetic is closed-form); graded tensor meshes use "
+            "ode_backend='grid'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if nt < 3:

@@ -102,10 +102,20 @@ def test_graded_mesh_stokes_solve():
     assert float(assemble.divergence_l2(space, u)) < 0.05
 
 
-def test_grideval_rejects_graded_mesh():
+def test_grideval_supports_graded_mesh_pallas_rejects():
+    """The table-free grid evaluator runs on graded tensor meshes (per-
+    axis searchsorted location, round-3); only the fused Pallas kernel —
+    whose in-kernel index arithmetic is closed-form — falls back."""
+    import jax.numpy as jnp
     from ocean_jax.ode.grideval import make_grideval
+    from ocean_jax.ode.pallas_ode import solve_primal_ode_pallas
     mesh, _ = structured.pipe_mesh(obstacle=False, graded=True,
                                    lc_min=0.08, lc_max=0.3)
     sp = make_space(mesh)
-    with pytest.raises(ValueError):
-        make_grideval(sp)
+    ge = make_grideval(sp)
+    assert ge.hg_shape == (2 * sp.locator.grid_shape[1] + 1,
+                           2 * sp.locator.grid_shape[0] + 1)
+    with pytest.raises(NotImplementedError):
+        solve_primal_ode_pallas(sp, ge, jnp.zeros((sp.n_p2, 2)),
+                                jnp.zeros((2, 2)), 0.005, 10,
+                                jnp.asarray([1.0, 1.0]))

@@ -93,6 +93,14 @@ def test_doublesingle_survives_jit():
     ("square-left", structured.unit_square_mesh(9, diagonal="left")),
     ("rect", structured.rectangle_mesh((0., 0.), (2., 2.), 8, 8)),
     ("lshape", structured.l_shape_mesh(10)),
+    # gen-1 pipe capability (old_dolfinx_files/mesh_init.py:95-194) on
+    # the fast backend: hole domains and locally-graded tensor grids
+    ("pipe-hole", structured.pipe_mesh(resolution=14, obstacle=True)[0]),
+    ("pipe-graded", structured.pipe_mesh(obstacle=False, graded=True,
+                                         lc_min=0.08, lc_max=0.3)[0]),
+    ("pipe-hole-graded", structured.pipe_mesh(obstacle=True, graded=True,
+                                              lc_min=0.06,
+                                              lc_max=0.3)[0]),
 ])
 def test_grideval_matches_tables(name, mesh):
     rng = np.random.default_rng(0)
@@ -143,6 +151,36 @@ def test_primal_ode_backends_agree(name, mesh, center):
         assert float(jnp.max(jnp.abs(r.x - ref.x))) < tol, tag
         assert float(jnp.max(jnp.abs(r.u_values - ref.u_values))) < tol, tag
         assert float(jnp.max(jnp.abs(r.x_raw - ref.x_raw))) < tol, tag
+
+
+@pytest.mark.parametrize("name,mesh", [
+    ("pipe-hole", structured.pipe_mesh(resolution=14, obstacle=True)[0]),
+    ("pipe-graded", structured.pipe_mesh(obstacle=True, graded=True,
+                                         lc_min=0.06, lc_max=0.3)[0]),
+])
+def test_primal_ode_grid_backend_pipe_domains(name, mesh):
+    """gather vs grid parity on the gen-1 pipe domains (hole + graded) —
+    trajectories that skirt the obstacle and escape through it must agree
+    exactly (escape = in_domain with the active-square condition). The
+    Pallas kernel intentionally rejects these domains (gated fallback)."""
+    rng = np.random.default_rng(7)
+    sp = make_space(mesh)
+    ge = make_grideval(sp)
+    u = jnp.asarray(0.6 * rng.standard_normal((sp.n_p2, 2)))
+    K, nt, h = 29, 40, 0.02
+    x0 = jnp.asarray(rng.uniform(0.05, 1.95, (K, 2)))
+    center = jnp.asarray([1.0, 1.0])
+
+    ref = solve_primal_ode(sp, u, x0, h, nt, center)
+    assert int(ref.mask.sum()) > 0        # escapes exercised
+    grid = solve_primal_ode(sp, u, x0, h, nt, center, grid=ge)
+    assert bool(jnp.all(grid.mask == ref.mask))
+    assert bool(jnp.all(grid.kfail == ref.kfail))
+    assert float(jnp.max(jnp.abs(grid.x - ref.x))) < 1e-12
+    assert float(jnp.max(jnp.abs(grid.u_values - ref.u_values))) < 1e-12
+
+    with pytest.raises(NotImplementedError):
+        solve_primal_ode_pallas(sp, ge, u, x0, h, nt, center)
 
 
 # ---------------------------------------------------------------------------
