@@ -75,6 +75,7 @@ class OCPConfig:
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
+    mg_matvec: str = "stencil"        # stencil|scatter — Krylov/smoother operator application: offset-stencil images (structured-grid fast path, ops/stencil.py) or element scatter-add
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)

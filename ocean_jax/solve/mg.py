@@ -152,25 +152,34 @@ class MGContext:
     # ``ainv_c`` is the explicit inverse of a small-enough block.
     op_vel_c: Optional[Operator] = None
     sub: Optional["MGContext"] = None
+    # offset-stencil matvec tables for THIS context's FINE space
+    # (ops/stencil.py) — the structured-grid fast path replacing the
+    # element scatter matvec in every Krylov/smoother application. None →
+    # scatter matvecs (mg_matvec="scatter" or table build failure).
+    st_mixed: Optional[object] = None
+    st_vel: Optional[object] = None
 
     def tree_flatten(self):
         return ((self.space_c, self.bq_c, self.bc_dofs_c, self.pro_dofs,
                  self.pro_w, self.inj_dofs, self.inj_w, self.pm_inv,
                  self.ell_mixed, self.ell_vel, self.ainv_c,
-                 self.op_vel_c, self.sub),
+                 self.op_vel_c, self.sub, self.st_mixed, self.st_vel),
                 (self.nu,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *head, ell_mixed, ell_vel, ainv_c, op_vel_c, sub = children
+        (*head, ell_mixed, ell_vel, ainv_c, op_vel_c, sub,
+         st_mixed, st_vel) = children
         return cls(*head, *aux, ell_mixed=ell_mixed, ell_vel=ell_vel,
-                   ainv_c=ainv_c, op_vel_c=op_vel_c, sub=sub)
+                   ainv_c=ainv_c, op_vel_c=op_vel_c, sub=sub,
+                   st_mixed=st_mixed, st_vel=st_vel)
 
 
 def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
                      bq_c: Optional[BoundaryQuad], bc_dofs_c: jnp.ndarray,
                      nu: float, bq_f: Optional[BoundaryQuad] = None,
-                     bc_dofs_f=None, use_ell: bool = False) -> MGContext:
+                     bc_dofs_f=None, use_ell: bool = False,
+                     use_stencil: bool = True) -> MGContext:
     """Build the transfer tables between an existing fine and coarse space
     (both over the same domain; the coarse mesh need not be nested).
 
@@ -193,11 +202,20 @@ def build_mg_context(space_f: TaylorHoodSpace, space_c: TaylorHoodSpace,
         ell_mixed = build_ell_tables(cd, fd, space_f.ndof, bc_np)
         ell_vel = build_ell_tables(cd[:, :12], fd[:, :12],
                                    2 * space_f.n_p2, bc_np)
+    st_mixed = st_vel = None
+    if use_stencil:
+        from ..ops import stencil as _stencil
+        try:
+            st_mixed = _stencil.build_stencil_tables(space_f, bq_f, "mixed")
+            st_vel = _stencil.build_stencil_tables(space_f, bq_f, "vel")
+        except (ValueError, AssertionError):
+            st_mixed = st_vel = None        # fall back to scatter matvecs
     return MGContext(space_c=space_c, bq_c=bq_c, bc_dofs_c=bc_dofs_c,
                      pro_dofs=pro_dofs, pro_w=pro_w,
                      inj_dofs=inj_dofs, inj_w=inj_w,
                      pm_inv=1.0 / pm, nu=nu,
-                     ell_mixed=ell_mixed, ell_vel=ell_vel)
+                     ell_mixed=ell_mixed, ell_vel=ell_vel,
+                     st_mixed=st_mixed, st_vel=st_vel)
 
 
 def inject_state(mg: MGContext, space_f: TaylorHoodSpace,
@@ -231,6 +249,16 @@ def op_matvec(op: Operator, dtype=jnp.float64
         return y.at[op.bc_dofs].set(x[op.bc_dofs])
 
     return mv
+
+
+def _stencil_or_scatter(st, op: Operator, dtype) -> Callable:
+    """Operator application: offset-stencil form when tables exist
+    (ops/stencil.py — ~100× less traffic than the element scatter on
+    structured grids), element scatter otherwise."""
+    if st is not None:
+        from ..ops import stencil as _stencil
+        return _stencil.matvec_of(st, dtype)(op)
+    return op_matvec(op, dtype)
 
 
 def _jacobi_dinv(vel_op: Operator, omega: float, dtype) -> jnp.ndarray:
@@ -280,7 +308,7 @@ def _coarse_solver(mg: MGContext, dtype, omega: float, pre: int,
         assert mg.op_vel_c is not None, (
             "multi-level context needs the frozen coarse velocity operator")
         dinv_c = _jacobi_dinv(mg.op_vel_c, omega, dtype)
-        mv_c = op_matvec(mg.op_vel_c, dtype)
+        mv_c = _stencil_or_scatter(mg.sub.st_vel, mg.op_vel_c, dtype)
         sub_solve = _coarse_solver(mg.sub, dtype, omega, pre, post)
         return _make_vcycle(mg.sub, mv_c, dinv_c, mg.bc_dofs_c, dtype,
                             omega, pre, post, sub_solve)
@@ -310,11 +338,12 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     n_vel = 2 * space_f.n_p2
     vel_f = velocity_block(op_mixed, n_vel)
     dinv = _jacobi_dinv(vel_f, omega, dtype)
-    # element scatter matvecs: measured FASTER than the ELL gather tables
-    # on TPU at Nx=64 (4.5 ms vs 31 ms — row gathers don't vectorize; the
-    # 19k-cell scatter does). ELL stays available for sharded callers.
-    vel_mv = op_matvec(vel_f, dtype)
-    mixed_mv = op_matvec(op_mixed, dtype)
+    # offset-stencil matvecs when the context carries tables (the
+    # structured-grid fast path); element scatter otherwise — itself
+    # measured FASTER than the ELL gather tables on TPU at Nx=64 (4.5 ms
+    # vs 31 ms). ELL stays available for sharded callers.
+    vel_mv = _stencil_or_scatter(mg.st_vel, vel_f, dtype)
+    mixed_mv = _stencil_or_scatter(mg.st_mixed, op_mixed, dtype)
 
     # coarse solve as ONE f32 matmul (measured: the blocked triangular
     # lu_solve dominated the 145 ms preconditioner application; the
@@ -391,8 +420,13 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
     M32 = make_block_preconditioner(mg, space_f, op, op_c,
                                     dtype=jnp.float32)
-    mv64 = op.matvec64 if matvec_of is None else matvec_of(op)
-    mv32 = op_matvec(op, jnp.float32)
+    if matvec_of is not None:
+        mv64 = matvec_of(op)
+        mv32 = op_matvec(op, jnp.float32)
+    else:
+        mv64 = (op.matvec64 if mg.st_mixed is None
+                else _stencil_or_scatter(mg.st_mixed, op, jnp.float64))
+        mv32 = _stencil_or_scatter(mg.st_mixed, op, jnp.float32)
 
     bnorm = jnp.linalg.norm(b)
     target = tol * jnp.maximum(bnorm, 1e-300)
@@ -471,7 +505,7 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
             w, r, rnorm, it = state
             op = operator_fn(w)
             if matvec_of is None:
-                mv32 = op_matvec(op, jnp.float32)
+                mv32 = _stencil_or_scatter(mg.st_mixed, op, jnp.float32)
             else:
                 mv32 = matvec_of(op)
             sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,

@@ -240,8 +240,8 @@ def build_mg_hierarchy(cfg: OCPConfig, space_f: TaylorHoodSpace,
         top = i == 0
         ctx = mg_mod.build_mg_context(
             sp_f, sp_c, bq_c, bc_c, cfg.viscosity,
-            bq_f=bq_i if top else None,
-            bc_dofs_f=bc_i if top else None)
+            bq_f=bq_i, bc_dofs_f=bc_i if top else None,
+            use_stencil=(cfg.mg_matvec != "scatter"))
         if i == len(levels) - 2:
             ctx = dataclasses.replace(ctx, ainv_c=ainv)
         else:
@@ -651,6 +651,59 @@ def make_high_resolution_step(prob: OCPProblem, **gd_kwargs):
     if jax.default_backend() == "cpu":
         return jax.jit(step)
     return jax.jit(step, compiler_options=LARGE_SOLVE_COMPILER_OPTIONS)
+
+
+class StagedPrograms(NamedTuple):
+    """Consolidated stage programs for tunnel-friendly host-driven loops
+    (scripts/hires_mg_run.py): every per-iteration device computation is
+    packed into three XLA programs, so one GD iteration costs ~5 dispatch
+    round trips instead of the ~15 an eager-op host loop pays (each eager
+    jnp call through the remote-TPU tunnel is a full round trip — measured
+    16–25 s/iteration of pure dispatch overhead at Nx=64/96)."""
+    begin: object    # f_quad → (fwd, J)                [once per run]
+    grad: object     # (f, fwd) → (z, g, gradj, div_u, adj_ok)
+    probe: object    # (f, g, lr) → (f_new, fwd_new, J_new)
+    record: object   # (u_values, f_quad) → J           [J(old u, new f)]
+
+
+def make_staged_pair(prob: OCPProblem, ode_impl=None,
+                     adjoint_rhs_impl=None, matvec_of=None
+                     ) -> StagedPrograms:
+    """Build the staged-iteration programs (same math as ``gd_step``,
+    split so a host-side Armijo loop can drive them; the accepted probe's
+    forward state carries into the next iteration — the
+    ``reuse_ls_forward`` trade, bit-identical because the updated control
+    equals the probed control exactly)."""
+    def _begin(f_quad):
+        fwd = _forward(prob, f_quad, ode_impl=ode_impl,
+                       matvec_of=matvec_of)
+        return fwd, cost(prob, fwd.u_values, f_quad)
+
+    def _grad(f: Control, fwd: ForwardState):
+        z, adj_ok = _solve_adjoint_flagged(
+            prob, fwd, adjoint_rhs_impl=adjoint_rhs_impl,
+            matvec_of=matvec_of)
+        g = reduced_gradient(prob, f, z)
+        gradj = ctrl_mod.boundary_inner(prob.bq, g,
+                                        Control(-g.quad, -g.p2))
+        u, _ = prob.space.split(fwd.w)
+        return z, g, gradj, assemble.divergence_l2(prob.space, u), adj_ok
+
+    def _probe(f: Control, g: Control, lr):
+        f_new = f.axpy(-lr, g)
+        fwd_new = _forward(prob, f_new.quad, ode_impl=ode_impl,
+                           matvec_of=matvec_of)
+        return f_new, fwd_new, cost(prob, fwd_new.u_values, f_new.quad)
+
+    def _record(u_values, f_quad):
+        return cost(prob, u_values, f_quad)
+
+    opts = (LARGE_SOLVE_COMPILER_OPTIONS
+            if needs_raised_vmem(prob) else None)
+    jit = (jax.jit if opts is None
+           else partial(jax.jit, compiler_options=opts))
+    return StagedPrograms(jit(_begin), jit(_grad), jit(_probe),
+                          jax.jit(_record))
 
 
 def make_differentiable_ns_solver(prob: OCPProblem):

@@ -76,10 +76,9 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
     timing) so a relaunched process continues where the last one
     stopped."""
     import jax.numpy as jnp
-    from ocean_jax import control as ctrl_mod
     from ocean_jax.control import Control
     from ocean_jax import system as sys_mod
-    forward_fn, adjoint_fn = sys_mod.stage_fns(prob)
+    progs = sys_mod.make_staged_pair(prob)
     lr = float(lr)
     js, times, newton_iters = [], [], []
     start = 0
@@ -93,29 +92,29 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             lr = float(st["lr"])
         start = len(js)
         log(f"{tag}: resuming at iteration {start} (lr={lr:g})", fh)
+    tau = cfg.tau if cfg else 0.5
+    lr_min = cfg.LR_MIN if cfg else 1e-8
+    c_armijo = cfg.c_armijo if cfg else 1e-4
+    fwd, j_dev = progs.begin(f.quad)
+    j_old = float(j_dev)
     for i in range(start, iters):
         t0 = time.time()
-        fwd = forward_fn(prob, f.quad)
-        z = adjoint_fn(prob, fwd)
-        g = sys_mod.reduced_gradient(prob, f, z)
+        z, g, gradj_dev, div_dev, adj_ok = progs.grad(f, fwd)
         if line_search:
-            df = Control(-g.quad, -g.p2)
-            gradj = float(ctrl_mod.boundary_inner(prob.bq, g, df))
-            cond = -(cfg.c_armijo if cfg else 1e-4) * gradj
-            tau = cfg.tau if cfg else 0.5
-            lr_min = cfg.LR_MIN if cfg else 1e-8
-            j_old = float(sys_mod.cost(prob, fwd.u_values, f.quad))
+            cond = -c_armijo * float(gradj_dev)
             for inner in range(15):
-                f_ls = f.quad + lr * df.quad
-                fwd_ls = forward_fn(prob, f_ls)
-                j_new = float(sys_mod.cost(prob, fwd_ls.u_values, f_ls))
+                f_c, fwd_c, j_dev = progs.probe(f, g, lr)
+                j_new = float(j_dev)
                 if j_old - j_new >= lr * cond:
                     break
                 lr = max(tau * lr, lr_min)
             log(f"{tag} it={i} line search accepted lr={lr:g} "
                 f"({inner + 1} probes)", fh)
-        f_new = f.axpy(-lr, g)
-        j = float(sys_mod.cost(prob, fwd.u_values, f_new.quad))
+        else:
+            f_c, fwd_c, j_dev = progs.probe(f, g, lr)
+            j_new = float(j_dev)
+        # the recorded J: OLD u_values, NEW control (OCP_dolfin.py:429)
+        j = float(progs.record(fwd.u_values, f_c.quad))
         dt = time.time() - t0
         assert np.isfinite(j), f"{tag}: non-finite J at iteration {i}"
         assert bool(fwd.newton.converged), (
@@ -126,7 +125,7 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
         newton_iters.append(int(fwd.newton.iterations))
         log(f"{tag} it={i} J={j:.6e} newton={newton_iters[-1]} "
             f"t={dt:.2f}s [staged]", fh)
-        f = f_new
+        f, fwd, j_old = f_c, fwd_c, j_new
         if state_path:
             np.savez(state_path, quad=np.asarray(f.quad),
                      p2=np.asarray(f.p2), js=np.asarray(js),
@@ -147,6 +146,14 @@ def main():
     ap.add_argument("--skip-crosscheck", action="store_true")
     ap.add_argument("--line-search", action="store_true")
     ap.add_argument("--staged", action="store_true")
+    ap.add_argument("--parity32", action="store_true",
+                    help="Nx=32 Armijo-on DESCENDING dense-vs-mg parity "
+                         "run (the limits fixed-LR crosscheck diverges "
+                         "by design; this is the stronger evidence)")
+    ap.add_argument("--parity-iters", type=int, default=6)
+    ap.add_argument("--viscosity", type=float, default=1.0,
+                    help="robustness probe at the 10_buoys golden "
+                         "viscosity (ν=0.01): tags runs nx{N}_nu{v}")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -188,38 +195,88 @@ def main():
         summary["runs"]["nx32_crosscheck"] = {
             "J_dense": jd, "J_mg": jm, "max_rel_diff": rel}
 
+    # --- Nx=32 DESCENDING parity: Armijo line search on -------------------
+    # The fixed-LR limits crosscheck above blows up by design (J 1.16 →
+    # 360); this run descends and checks both J and the control drift.
+    if args.parity32:
+        cfgp = OCPConfig(ud_experiment="400_buoys",
+                         unit_square_resolution=32,
+                         use_line_search=True,
+                         num_steps=args.parity_iters)
+        t0 = time.time()
+        pd = sys_mod.build_problem(cfgp)
+        pm = sys_mod.build_problem(
+            dataclasses.replace(cfgp, linear_solver="mg"))
+        log(f"built Nx=32 parity problems ({time.time()-t0:.1f}s)", fh)
+
+        def descend(prob, tag):
+            f = sys_mod.initial_control(prob, case=4)
+            lr = jnp.asarray(cfgp.LR)
+            js, fq = [], None
+            for i in range(args.parity_iters):
+                t1 = time.time()
+                res = sys_mod.gd_step(prob, f, lr, use_line_search=True,
+                                      max_ls_iters=15)
+                j = float(res.J)
+                assert not bool(res.diverged), (tag, i)
+                js.append(j)
+                log(f"{tag} it={i} J={j:.6e} lr={float(res.lr):g} "
+                    f"t={time.time()-t1:.2f}s", fh)
+                f, lr = res.f_new, res.lr
+            return js, np.asarray(f.quad)
+
+        jd, fd = descend(pd, "parity32-dense")
+        jm, fm = descend(pm, "parity32-mg")
+        relj = max(abs(a - b) / abs(a) for a, b in zip(jd, jm))
+        relf = float(np.max(np.abs(fd - fm)) / max(np.max(np.abs(fd)), 1e-30))
+        log(f"parity32 (line search, {args.parity_iters} its): "
+            f"descended={jd[-1] < jd[0]} max rel J diff {relj:.3e} "
+            f"rel control drift {relf:.3e}", fh)
+        assert jd[-1] < jd[0] and jm[-1] < jm[0], (jd, jm)
+        assert relj < 1e-9, relj
+        assert relf < 1e-9, relf
+        summary["runs"]["nx32_descending_parity"] = {
+            "line_search": True, "iters": args.parity_iters,
+            "J_dense": jd, "J_mg": jm, "descended": True,
+            "max_rel_J_diff": relj, "max_rel_control_drift": relf}
+        with open(summary_path, "w") as sf:
+            json.dump(summary, sf, indent=2)
+
     # --- high-resolution runs ---------------------------------------------
     for nx in args.resolutions:
+        tag = (f"nx{nx}" if args.viscosity == 1.0
+               else f"nx{nx}_nu{args.viscosity:g}")
         cfg = OCPConfig(ud_experiment="400_buoys",
                         unit_square_resolution=nx,
                         use_line_search=False, num_steps=args.iters,
-                        linear_solver="mg")
+                        linear_solver="mg", viscosity=args.viscosity)
         t0 = time.time()
         prob = sys_mod.build_problem(cfg)
         depth, c = 1, prob.mg
         while c.sub is not None:
             depth, c = depth + 1, c.sub
-        log(f"built Nx={nx}: ndof={prob.space.ndof} "
+        log(f"built {tag}: ndof={prob.space.ndof} "
             f"coarse={prob.mg.space_c.ndof} mg_levels={depth + 1} "
             f"leaf_inv_n={0 if c.ainv_c is None else c.ainv_c.shape[0]} "
             f"({time.time()-t0:.1f}s)", fh)
         f = sys_mod.initial_control(prob, case=4)
         if args.staged:
             js, times, nit = run_gd_staged(
-                prob, f, args.lr, args.iters, fh, f"nx{nx}",
-                state_path=os.path.join(OUT, f"state_nx{nx}.npz"),
+                prob, f, args.lr, args.iters, fh, tag,
+                state_path=os.path.join(OUT, f"state_{tag}.npz"),
                 line_search=args.line_search, cfg=cfg)
         else:
             js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
-                                    args.iters, fh, f"nx{nx}",
+                                    args.iters, fh, tag,
                                     line_search=args.line_search)
         if not js[-1] < js[0]:
-            log(f"nx{nx}: WARNING J did not descend at lr={args.lr}: "
+            log(f"{tag}: WARNING J did not descend at lr={args.lr}: "
                 f"{js}", fh)
-        summary["runs"][f"nx{nx}"] = {
+        summary["runs"][tag] = {
             "ndof": prob.space.ndof,
             "coarse_ndof": prob.mg.space_c.ndof,
             "mg_levels": depth + 1,
+            "viscosity": args.viscosity,
             "lr": args.lr, "line_search": args.line_search,
             "J": js, "descended": bool(js[-1] < js[0]),
             "seconds_per_iter": times,

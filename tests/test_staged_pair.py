@@ -1,0 +1,57 @@
+"""Consolidated staged programs (system.make_staged_pair) vs the fused
+gd_step — same math, host-driven Armijo, probe-forward reuse (the
+dispatch-round-trip-minimizing path for remote-TPU host loops)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ocean_jax.config import OCPConfig
+from ocean_jax.control import Control
+from ocean_jax import system as sys_mod
+
+
+def _staged_run(prob, f, lr, iters, cfg):
+    progs = sys_mod.make_staged_pair(prob)
+    fwd, j_dev = progs.begin(f.quad)
+    j_old = float(j_dev)
+    js, lrs = [], []
+    for _ in range(iters):
+        z, g, gradj, div_u, adj_ok = progs.grad(f, fwd)
+        assert bool(adj_ok)
+        cond = -cfg.c_armijo * float(gradj)
+        for _ in range(30):
+            f_c, fwd_c, j_dev = progs.probe(f, g, lr)
+            j_new = float(j_dev)
+            if j_old - j_new >= lr * cond:
+                break
+            lr = max(cfg.tau * lr, cfg.LR_MIN)
+        js.append(float(progs.record(fwd.u_values, f_c.quad)))
+        lrs.append(lr)
+        f, fwd, j_old = f_c, fwd_c, j_new
+    return js, lrs, f
+
+
+def test_staged_pair_matches_gd_step():
+    cfg = OCPConfig(unit_square_resolution=12, ud_experiment="4_buoys",
+                    use_line_search=True)
+    rng = np.random.default_rng(0)
+    u_d = 0.05 * rng.standard_normal((4, cfg.num_time_steps, 2))
+    x0 = 0.3 + 1.4 * rng.random((4, 2))
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    f0 = sys_mod.initial_control(prob, case=4)
+
+    js_s, lrs_s, f_s = _staged_run(prob, f0, float(cfg.LR), 3, cfg)
+
+    f, lr = f0, jnp.asarray(cfg.LR)
+    js_f, lrs_f = [], []
+    for _ in range(3):
+        res = sys_mod.gd_step(prob, f, lr, use_line_search=True,
+                              tau=cfg.tau, c_armijo=cfg.c_armijo,
+                              lr_min=cfg.LR_MIN, max_ls_iters=30)
+        js_f.append(float(res.J))
+        lrs_f.append(float(res.lr))
+        f, lr = res.f_new, res.lr
+
+    assert lrs_s == lrs_f
+    np.testing.assert_allclose(js_s, js_f, rtol=1e-13)
+    assert float(jnp.max(jnp.abs(f_s.quad - f.quad))) < 1e-13
