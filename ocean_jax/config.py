@@ -80,7 +80,16 @@ class OCPConfig:
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)
     adjoint_reuse_lu: str = "auto"    # auto|on|off — solve the adjoint through the TRANSPOSED Newton LU factors (no second factorization per GD iteration; auto = on iff ν==1, where the adjoint operator is exactly the transposed Jacobian, and the dense path is active)
-    reuse_ls_forward: bool = False    # reuse the accepted Armijo probe's forward state (bit-identical)
+    # Reuse the accepted Armijo probe's forward state as the next
+    # iteration's forward state. Bit-identical (the updated control equals
+    # the probed control exactly; solves are deterministic) while skipping
+    # one NS+ODE solve per iteration; the reference always re-solves
+    # (OCP_dolfin.py:313-315 after the line-search accept at :386-415), so
+    # per-iteration outer/inner timing splits differ from the reference's
+    # methodology when this is on (totals are what improve). Soak evidence:
+    # results/reuse_soak/soak.json — flagship K=10⁴ 1.20×, L-shape res-50
+    # 1.80× per iteration, J/control/LR trajectories exactly equal.
+    reuse_ls_forward: bool = True
     seed: int = 0
 
     @property

@@ -64,17 +64,20 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
                          df: Optional[Control] = None,
                          on_iteration: Optional[Callable] = None,
                          grad_check_dir: Optional[str] = None,
-                         reuse_ls_forward: bool = False,
+                         reuse_ls_forward: bool = True,
                          verbose: bool = True) -> GDRunResult:
     """Run up to cfg.num_steps GD iterations. ``escape_threshold`` defaults
     to K/2 (OCP pipeline); the limits pipeline passes 10.
 
-    ``reuse_ls_forward=True``: when the Armijo search accepts a step, the
-    accepted probe's forward state IS the next iteration's forward state
-    (the updated control equals the probed control exactly and the solve
-    is deterministic) — skips one NS+ODE solve per iteration with
-    bit-identical results. Off by default only to keep the reference's
-    per-iteration timing semantics."""
+    ``reuse_ls_forward=True`` (default; soaked bit-identical on the
+    flagship K=10⁴ and L-shape res-50 production configs —
+    results/reuse_soak/soak.json, 1.20×/1.80× per iteration): when the
+    Armijo search accepts a step, the accepted probe's forward state IS
+    the next iteration's forward state (the updated control equals the
+    probed control exactly and the solve is deterministic) — skips one
+    NS+ODE solve per iteration with bit-identical results. Pass False to
+    reproduce the reference's per-iteration outer/inner timing split
+    (see ``OCPConfig.reuse_ls_forward``)."""
     if escape_threshold is None:
         escape_threshold = prob.K / 2
     if df is None:

@@ -43,7 +43,8 @@ def test_reuse_ls_forward_bit_identical():
     u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
     prob = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
     f0 = sys_mod.initial_control(prob, 0)
-    a = run_gradient_descent(cfg, prob, f0, verbose=False)
+    a = run_gradient_descent(cfg, prob, f0, reuse_ls_forward=False,
+                             verbose=False)
     b = run_gradient_descent(cfg, prob, f0, reuse_ls_forward=True,
                              verbose=False)
     assert a.j_array == b.j_array
