@@ -145,18 +145,21 @@ def make_sharded_step(prob: "sys_mod.OCPProblem", mesh: Mesh,
     ode_impl = make_buoy_ode_impl(mesh)
     adj_impl = make_buoy_adjoint_rhs_impl(mesh)
 
+    # prob as a jit ARGUMENT (a closed-over problem pytree becomes HLO
+    # constants and trips the remote-compile helper's request-size cap —
+    # system.make_staged_pair)
     @jax.jit
-    def step(f_quad, f_p2, lr):
-        res = sys_mod.gd_step(prob_p, Control(f_quad, f_p2), lr,
+    def step(p, f_quad, f_p2, lr):
+        res = sys_mod.gd_step(p, Control(f_quad, f_p2), lr,
                               use_line_search=use_line_search, tau=tau,
                               c_armijo=c_armijo, lr_min=lr_min,
                               max_ls_iters=max_ls_iters,
                               ode_impl=ode_impl, adjoint_rhs_impl=adj_impl)
-        mask_count = sys_mod.sum_mask(prob_p, res.fwd.mask)
+        mask_count = sys_mod.sum_mask(p, res.fwd.mask)
         return (res.f_new.quad, res.f_new.p2, res.lr, res.J, mask_count,
                 res.diverged)
 
-    return step
+    return lambda f_quad, f_p2, lr: step(prob_p, f_quad, f_p2, lr)
 
 
 def make_sharded_step_2d(prob: "sys_mod.OCPProblem", mesh: Mesh,
@@ -189,15 +192,15 @@ def make_sharded_step_2d(prob: "sys_mod.OCPProblem", mesh: Mesh,
         return make_sharded_matvec(op, mesh)
 
     @jax.jit
-    def step(f_quad, f_p2, lr):
-        res = sys_mod.gd_step(prob_p, Control(f_quad, f_p2), lr,
+    def step(p, f_quad, f_p2, lr):
+        res = sys_mod.gd_step(p, Control(f_quad, f_p2), lr,
                               use_line_search=use_line_search, tau=tau,
                               c_armijo=c_armijo, lr_min=lr_min,
                               max_ls_iters=max_ls_iters,
                               ode_impl=ode_impl, adjoint_rhs_impl=adj_impl,
                               matvec_of=matvec_of)
-        mask_count = sys_mod.sum_mask(prob_p, res.fwd.mask)
+        mask_count = sys_mod.sum_mask(p, res.fwd.mask)
         return (res.f_new.quad, res.f_new.p2, res.lr, res.J, mask_count,
                 res.diverged)
 
-    return step
+    return lambda f_quad, f_p2, lr: step(prob_p, f_quad, f_p2, lr)

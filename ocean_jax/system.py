@@ -644,13 +644,17 @@ def stage_fns(prob: OCPProblem):
 
 def make_high_resolution_step(prob: OCPProblem, **gd_kwargs):
     """jitted gd_step with the raised scoped-VMEM limit for dense direct
-    solves beyond ~16k dofs (TPU only; plain jit elsewhere)."""
-    def step(f: Control, lr):
-        return gd_step(prob, f, lr, **gd_kwargs)
+    solves beyond ~16k dofs (TPU only; plain jit elsewhere). ``prob`` is a
+    jit argument, not a closure — see ``make_staged_pair`` (closed-over
+    tables become HLO constants and trip the remote-compile helper's
+    request-size cap)."""
+    def step(p: OCPProblem, f: Control, lr):
+        return gd_step(p, f, lr, **gd_kwargs)
 
-    if jax.default_backend() == "cpu":
-        return jax.jit(step)
-    return jax.jit(step, compiler_options=LARGE_SOLVE_COMPILER_OPTIONS)
+    jitted = (jax.jit(step) if jax.default_backend() == "cpu"
+              else jax.jit(step,
+                           compiler_options=LARGE_SOLVE_COMPILER_OPTIONS))
+    return lambda f, lr: jitted(prob, f, lr)
 
 
 class StagedPrograms(NamedTuple):
@@ -673,37 +677,47 @@ def make_staged_pair(prob: OCPProblem, ode_impl=None,
     split so a host-side Armijo loop can drive them; the accepted probe's
     forward state carries into the next iteration — the
     ``reuse_ls_forward`` trade, bit-identical because the updated control
-    equals the probed control exactly)."""
-    def _begin(f_quad):
-        fwd = _forward(prob, f_quad, ode_impl=ode_impl,
-                       matvec_of=matvec_of)
-        return fwd, cost(prob, fwd.u_values, f_quad)
+    equals the probed control exactly).
 
-    def _grad(f: Control, fwd: ForwardState):
+    ``prob`` is threaded as a jit ARGUMENT, never a closure: a closed-over
+    problem pytree becomes HLO constants, and the serialized module (285 MB
+    of coarse inverse alone at Nx=64) trips the remote-compile helper's
+    request-size cap — observed as ``HTTP 413: length limit exceeded``,
+    the failure behind round 2's "fused hi-res step crashes the compile
+    helper" note."""
+    def _begin(p, f_quad):
+        fwd = _forward(p, f_quad, ode_impl=ode_impl, matvec_of=matvec_of)
+        return fwd, cost(p, fwd.u_values, f_quad)
+
+    def _grad(p, f: Control, fwd: ForwardState):
         z, adj_ok = _solve_adjoint_flagged(
-            prob, fwd, adjoint_rhs_impl=adjoint_rhs_impl,
+            p, fwd, adjoint_rhs_impl=adjoint_rhs_impl,
             matvec_of=matvec_of)
-        g = reduced_gradient(prob, f, z)
-        gradj = ctrl_mod.boundary_inner(prob.bq, g,
-                                        Control(-g.quad, -g.p2))
-        u, _ = prob.space.split(fwd.w)
-        return z, g, gradj, assemble.divergence_l2(prob.space, u), adj_ok
+        g = reduced_gradient(p, f, z)
+        gradj = ctrl_mod.boundary_inner(p.bq, g, Control(-g.quad, -g.p2))
+        u, _ = p.space.split(fwd.w)
+        return z, g, gradj, assemble.divergence_l2(p.space, u), adj_ok
 
-    def _probe(f: Control, g: Control, lr):
+    def _probe(p, f: Control, g: Control, lr):
         f_new = f.axpy(-lr, g)
-        fwd_new = _forward(prob, f_new.quad, ode_impl=ode_impl,
+        fwd_new = _forward(p, f_new.quad, ode_impl=ode_impl,
                            matvec_of=matvec_of)
-        return f_new, fwd_new, cost(prob, fwd_new.u_values, f_new.quad)
+        return f_new, fwd_new, cost(p, fwd_new.u_values, f_new.quad)
 
-    def _record(u_values, f_quad):
-        return cost(prob, u_values, f_quad)
+    def _record(p, u_values, f_quad):
+        return cost(p, u_values, f_quad)
 
     opts = (LARGE_SOLVE_COMPILER_OPTIONS
             if needs_raised_vmem(prob) else None)
     jit = (jax.jit if opts is None
            else partial(jax.jit, compiler_options=opts))
-    return StagedPrograms(jit(_begin), jit(_grad), jit(_probe),
-                          jax.jit(_record))
+    begin, grad, probe = jit(_begin), jit(_grad), jit(_probe)
+    record = jax.jit(_record)
+    return StagedPrograms(
+        lambda f_quad: begin(prob, f_quad),
+        lambda f, fwd: grad(prob, f, fwd),
+        lambda f, g, lr: probe(prob, f, g, lr),
+        lambda u_values, f_quad: record(prob, u_values, f_quad))
 
 
 def make_differentiable_ns_solver(prob: OCPProblem):
