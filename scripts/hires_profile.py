@@ -43,14 +43,18 @@ def main():
     print(f"built Nx={args.nx} ndof={prob.space.ndof} "
           f"({time.time() - t0:.1f}s)", flush=True)
     f = sys_mod.initial_control(prob, case=4)
-    forward_fn, adjoint_fn = sys_mod.stage_fns(prob)
+    progs = sys_mod.make_staged_pair(prob)   # the production staged path
+
+    state = {}
 
     def one_iter(f_ctrl):
-        fwd = forward_fn(prob, f_ctrl.quad)
-        z = adjoint_fn(prob, fwd)
-        g = sys_mod.reduced_gradient(prob, f_ctrl, z)
-        f_new = f_ctrl.axpy(-args.lr, g)
-        j = float(sys_mod.cost(prob, fwd.u_values, f_new.quad))
+        fwd = state.get("fwd")
+        if fwd is None:
+            fwd, _ = progs.begin(f_ctrl.quad)
+        z, g, gradj, div_u, adj_ok = progs.grad(f_ctrl, fwd)
+        f_new, fwd_new, j_dev = progs.probe(f_ctrl, g, args.lr)
+        j = float(progs.record(fwd.u_values, f_new.quad))
+        state["fwd"] = fwd_new
         return f_new, j, fwd
 
     t0 = time.time()
