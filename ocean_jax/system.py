@@ -19,6 +19,7 @@ traffic happens only at checkpoint/plot boundaries (SURVEY §3.5).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -228,11 +229,30 @@ def build_mg_hierarchy(cfg: OCPConfig, space_f: TaylorHoodSpace,
         if 2 * lvl[0].n_p2 <= budget or n <= 4:
             break
 
-    # leaf inverse (explicit f32, host-staged build)
+    # leaf inverse (explicit f32, host-staged build). Cached on disk: the
+    # ~40-program host-staged build moves GBs through the remote-TPU
+    # tunnel and is the build phase most exposed to worker crashes
+    # (BACKLOG "platform facts"); a crashed run retried with the cache
+    # skips straight past it. Key = (domain, leaf resolution, ν, n).
     space_l, bq_l, bc_l = levels[-1]
-    vel_l = _stokes_velocity_operator(space_l, bq_l, bc_l, cfg.viscosity)
-    a_l = jax.jit(lambda o: o.dense())(vel_l)
-    ainv = _linalg.explicit_inverse_host(a_l)
+    domain = "lshape" if cfg.L_shape else "square"
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "mg_cache",
+        f"ainv_{domain}_n{n}_nu{cfg.viscosity:g}_"
+        f"{2 * space_l.n_p2}.npy")
+    if os.path.exists(cache):
+        ainv = jnp.asarray(np.load(cache))
+        assert ainv.shape[0] == 2 * space_l.n_p2
+    else:
+        vel_l = _stokes_velocity_operator(space_l, bq_l, bc_l,
+                                          cfg.viscosity)
+        a_l = jax.jit(lambda o: o.dense())(vel_l)
+        ainv = _linalg.explicit_inverse_host(a_l)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.save(fh, np.asarray(ainv))
+        os.replace(tmp, cache)
 
     sub = None
     for i in range(len(levels) - 2, -1, -1):
