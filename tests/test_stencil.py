@@ -70,6 +70,30 @@ def test_velocity_block_matvec_matches_scatter(name, mesh):
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-11, name
 
 
+def test_mg_matvec_knob_switches_paths():
+    """mg_matvec="scatter" builds contexts without stencil tables and the
+    two configurations solve to the same answer."""
+    import dataclasses
+    from ocean_jax.config import OCPConfig
+    from ocean_jax import system as sys_mod
+
+    cfg = OCPConfig(unit_square_resolution=12, ud_experiment="2_buoys",
+                    T=0.05, dt=0.005, linear_solver="mg")
+    rng = np.random.default_rng(5)
+    u_d = 0.05 * rng.standard_normal((2, cfg.num_time_steps, 2))
+    x0 = 0.4 + 1.2 * rng.random((2, 2))
+    p_st = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    p_sc = sys_mod.build_problem(
+        dataclasses.replace(cfg, mg_matvec="scatter"), u_d=u_d, x0=x0)
+    assert p_st.mg.st_mixed is not None and p_st.mg.st_vel is not None
+    assert p_sc.mg.st_mixed is None and p_sc.mg.st_vel is None
+    f = sys_mod.initial_control(p_st, case=0)
+    a = sys_mod.solve_ns(p_st, f.quad)
+    b = sys_mod.solve_ns(p_sc, f.quad)
+    assert bool(a.converged) and bool(b.converged)
+    assert float(jnp.max(jnp.abs(a.w - b.w))) < 1e-9
+
+
 def test_facet_free_operator():
     """Stokes velocity operator without boundary terms pairs with tables
     built with bq=None."""
