@@ -18,6 +18,7 @@ fp64 LU the reference relies on.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import jax
@@ -97,7 +98,8 @@ def _maybe_large_lu_jit(fn):
 
 
 def explicit_inverse_host(a: jnp.ndarray, chunk: int = 512,
-                          newton_schulz: int = 1) -> jnp.ndarray:
+                          newton_schulz: int = 1,
+                          progress_path: str = None) -> jnp.ndarray:
     """Explicit f32 inverse of a large dense matrix, built as a sequence
     of memory-bounded device programs (host-orchestrated).
 
@@ -112,6 +114,11 @@ def explicit_inverse_host(a: jnp.ndarray, chunk: int = 512,
 
     One-time setup cost per problem; the result makes every downstream
     coarse solve a single MXU matmul.
+
+    ``progress_path``: crash-resume checkpoint of the solved column
+    blocks — the chunk loop moves GBs through the remote-TPU tunnel and
+    is exposed to worker crashes; a retried build resumes at the first
+    unsolved chunk (completed-chunk count stored alongside the columns).
     """
     a = a.astype(jnp.float32)
     n = a.shape[0]
@@ -125,12 +132,27 @@ def explicit_inverse_host(a: jnp.ndarray, chunk: int = 512,
     solve_chunk = _maybe_large_lu_jit(
         lambda lu, piv, e: jsl.lu_solve((lu, piv), e))
     cols = _np.empty((n, n), dtype=_np.float32)
-    for start in range(0, n, chunk):
+    done = 0
+    if progress_path is not None and os.path.exists(progress_path):
+        st = _np.load(progress_path)
+        if st["cols"].shape == (n, n) and int(st["chunk"]) == chunk:
+            cols[:] = st["cols"]
+            done = int(st["done"])
+    for start in range(done * chunk, n, chunk):
         width = min(chunk, n - start)
         e = jnp.zeros((n, width), jnp.float32).at[
             start + jnp.arange(width), jnp.arange(width)].set(1.0)
         cols[:, start:start + width] = _np.asarray(
             solve_chunk(fac.lu, fac.piv, e))
+        i_chunk = start // chunk + 1
+        # checkpoint every 8 chunks (a full-matrix write per chunk would
+        # cost ~50 GB of disk traffic at n=18.8k)
+        if progress_path is not None and (
+                i_chunk % 8 == 0 or start + width >= n):
+            tmp = progress_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                _np.savez(fh, cols=cols, done=i_chunk, chunk=chunk)
+            os.replace(tmp, progress_path)
     ainv = jnp.asarray(cols)
 
     # X(2I − AX) = 2X − X(AX): no n×n identity materialized, ~5 live

@@ -247,12 +247,15 @@ def build_mg_hierarchy(cfg: OCPConfig, space_f: TaylorHoodSpace,
         vel_l = _stokes_velocity_operator(space_l, bq_l, bc_l,
                                           cfg.viscosity)
         a_l = jax.jit(lambda o: o.dense())(vel_l)
-        ainv = _linalg.explicit_inverse_host(a_l)
         os.makedirs(os.path.dirname(cache), exist_ok=True)
+        ainv = _linalg.explicit_inverse_host(
+            a_l, progress_path=cache + ".progress")
         tmp = cache + ".tmp"
         with open(tmp, "wb") as fh:
             np.save(fh, np.asarray(ainv))
         os.replace(tmp, cache)
+        if os.path.exists(cache + ".progress"):
+            os.remove(cache + ".progress")
 
     sub = None
     for i in range(len(levels) - 2, -1, -1):
