@@ -55,3 +55,38 @@ def test_staged_pair_matches_gd_step():
     assert lrs_s == lrs_f
     np.testing.assert_allclose(js_s, js_f, rtol=1e-13)
     assert float(jnp.max(jnp.abs(f_s.quad - f.quad))) < 1e-13
+
+
+def test_staged_runner_crash_resume(tmp_path):
+    """hires_mg_run's staged loop: interrupt after 2 iterations, resume
+    from the state file, end state equals an uninterrupted 4-iteration
+    run (crash-resume for the flaky remote worker)."""
+    import io
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from hires_mg_run import run_gd_staged
+
+    cfg = OCPConfig(unit_square_resolution=10, ud_experiment="3_buoys",
+                    T=0.05, dt=0.005, use_line_search=True)
+    rng = np.random.default_rng(2)
+    u_d = 0.05 * rng.standard_normal((3, cfg.num_time_steps, 2))
+    x0 = 0.3 + 1.4 * rng.random((3, 2))
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    f0 = sys_mod.initial_control(prob, case=4)
+    fh = io.StringIO()
+
+    js_full, _, nit_full = run_gd_staged(
+        prob, f0, cfg.LR, 4, fh, "full", state_path=None,
+        line_search=True, cfg=cfg)
+
+    state = str(tmp_path / "state.npz")
+    js_a, _, _ = run_gd_staged(prob, f0, cfg.LR, 2, fh, "part",
+                               state_path=state, line_search=True, cfg=cfg)
+    js_b, _, nit_b = run_gd_staged(prob, f0, cfg.LR, 4, fh, "part",
+                                   state_path=state, line_search=True,
+                                   cfg=cfg)
+    assert js_b[:2] == js_a
+    np.testing.assert_allclose(js_b, js_full, rtol=1e-12)
+    assert nit_b[2:] == nit_full[2:]
