@@ -25,8 +25,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..fem.spaces import TaylorHoodSpace
-from ..fem.interpolate import eval_velocity_basis, eval_velocity
-from ..mesh.locate import in_domain
+from ..fem.interpolate import _p2_basis_jnp
+from ..mesh.locate import locate_points
 
 
 def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
@@ -47,15 +47,30 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
         f64-emulated matmuls cost 2.5 s; useful inside shard_map,
       * "sorted": sort + exact-prefix (triangular-matmul cumsum) segment
         reduction — 0.28 s (4.2×) at full f64 accuracy (measured 1.6e-11
-        absolute on 2·10⁶ standard-normal values); the production fast
-        path (bench.py).
+        absolute on 2·10⁶ standard-normal values),
+      * "ozaki": slice-decomposed bf16 MXU one-hot contractions
+        (``ops/scatter.py::ozaki_segment_sum``) — exact (≤1e-13·scale),
+        sort-free, MXU-resident; the production fast path (bench.py).
+
+    Point location runs ONCE: the in-domain test, the u re-evaluation and
+    the source-basis tables all come from a single ``locate_points`` pass
+    (out-of-domain lanes swap in the precomputed domain-center cell) —
+    bit-identical to evaluating at ``where(inside, x, center)`` since
+    in-domain lanes reuse the very same (cell, ξ).
     """
     K, nt, _ = x.shape
     pts = x.reshape(-1, 2)
-    inside = in_domain(space.locator, pts)
-    u_x, _ = eval_velocity(space, u, pts)
+    cell, xi, inside = locate_points(space.locator, pts)
+    phi = _p2_basis_jnp(xi)                                   # (M, 6)
+    dofs = space.cell_dofs_p2[cell]                           # (M, 6)
+    u_x = jnp.einsum("ma,mai->mi", phi, u[dofs])
     u_x = jnp.where(inside[:, None], u_x, 0.0)
-    src_pts = jnp.where(inside[:, None], pts, center)
+    # sources for out-of-domain points sit at the domain center
+    # (OCP_dolfin.py:357-360): swap in its (cell, basis) for masked lanes
+    cell_c, xi_c, _ = locate_points(space.locator, center[None, :])
+    cell = jnp.where(inside, cell, cell_c[0])
+    phi = jnp.where(inside[:, None], phi, _p2_basis_jnp(xi_c[0])[None, :])
+    dofs = space.cell_dofs_p2[cell]
 
     gamma = h * ((u_d.reshape(-1, 2) - u_x) + mu.reshape(-1, 2))
     # default: whole-buoy masking (reference semantics). ``active_t`` is a
@@ -65,17 +80,20 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
               else active_t.reshape(-1))
     gamma = jnp.where(active[:, None], gamma, 0.0)
 
-    cell, dofs, phi, _ = eval_velocity_basis(space, src_pts)  # (M,6),(M,6)
     vals = phi[:, :, None] * gamma[:, None, :]                # (M, 6, 2)
-    if method in ("binned", "sorted"):
+    if method in ("binned", "sorted", "ozaki"):
         if method == "binned":
             from ..ops.scatter import binned_segment_sum
             per_cell = binned_segment_sum(cell, vals.reshape(-1, 12),
                                           space.num_cells)    # (nc, 12)
-        else:
+        elif method == "sorted":
             from ..ops.scatter import sorted_segment_sum
             per_cell = sorted_segment_sum(cell, vals.reshape(-1, 12),
                                           space.num_cells)
+        else:
+            from ..ops.scatter import ozaki_segment_sum
+            per_cell = ozaki_segment_sum(cell, vals.reshape(-1, 12),
+                                         space.num_cells)
         b_vel = jnp.zeros((space.n_p2, 2)).at[space.cell_dofs_p2].add(
             per_cell.reshape(-1, 6, 2))
     else:

@@ -74,10 +74,11 @@ class OCPConfig:
     max_line_search_iters: int = 80   # safety bound (reference loops forever)
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
+    dense_apply: str = "lu"           # lu|inverse — float32 preconditioner application on the dense path: sequential triangular solves, or one chunked-trsm explicit inverse whose every apply is a single MXU matmul
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
     mg_matvec: str = "stencil"        # stencil|scatter — Krylov/smoother operator application: offset-stencil images (structured-grid fast path, ops/stencil.py) or element scatter-add
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
-    psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned
+    psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki (exact bf16-MXU slicing, the fast path)
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)
     adjoint_reuse_lu: str = "auto"    # auto|on|off — solve the adjoint through the TRANSPOSED Newton LU factors (no second factorization per GD iteration; auto = on iff ν==1, where the adjoint operator is exactly the transposed Jacobian, and the dense path is active)
     # Reuse the accepted Armijo probe's forward state as the next

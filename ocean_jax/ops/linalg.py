@@ -55,10 +55,78 @@ class LUSolver:
                             b.astype(jnp.float32), trans=1).astype(jnp.float64)
 
 
+    def refactor(self, a: jnp.ndarray) -> "LUSolver":
+        """Rebuild the same solver kind from a fresh matrix (class-generic
+        hook for jit branches that must produce a matching pytree)."""
+        return factorize(a)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class InvSolver:
+    """Explicit float32 inverse with the ``LUSolver`` apply interface.
+
+    Sequential blocked triangular solves (``lu_solve``) are
+    latency-bound on TPU — ~9 ms per RHS at n≈9.5k, and the refinement
+    loop issues dozens of them per GD iteration (the 0.30 s
+    ``lu_triangular_solves`` bucket of the fused-program profile). This
+    solver pays the triangular solves ONCE — n RHS at a time, where the
+    blocked trsm is matmul-dominated — and every subsequent
+    ``solve32``/``solve32_t`` is a single MXU matmul (HBM-bound:
+    ~0.5 ms at n≈9.5k). Same float32 accuracy class as LU solves; the
+    float64 iterative refinement absorbs the difference exactly as it
+    does for the mg leaf inverse (``solve/mg.py``).
+    """
+
+    ainv: jnp.ndarray                 # (n, n) float32
+
+    def tree_flatten(self):
+        return ((self.ainv,), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def solve32(self, b: jnp.ndarray) -> jnp.ndarray:
+        return (self.ainv @ b.astype(jnp.float32)).astype(jnp.float64)
+
+    def solve32_t(self, b: jnp.ndarray) -> jnp.ndarray:
+        """(Aᵀ)⁻¹ b = A⁻ᵀ b — the transposed-matmul apply (no copy)."""
+        return (b.astype(jnp.float32) @ self.ainv).astype(jnp.float64)
+
+    def refactor(self, a: jnp.ndarray) -> "InvSolver":
+        return invert32(a)
+
+
 def factorize(a: jnp.ndarray) -> LUSolver:
     """LU-factorize a dense matrix in float32."""
     lu, piv = jsl.lu_factor(a.astype(jnp.float32))
     return LUSolver(lu, piv)
+
+
+def invert32(a: jnp.ndarray, chunk: int = 512) -> InvSolver:
+    """Explicit float32 inverse, built IN-PROGRAM (jit-compatible).
+
+    One LU factorization, then identity columns solved ``chunk`` at a
+    time under ``lax.map`` — bounding XLA's TriangularSolve working set
+    to ~(n/256)·n·chunk·4 bytes (an unchunked n×n RHS demands ~13.5 GB
+    at n=9.5k; see ``explicit_inverse_host`` for the host-staged variant
+    used at mg-leaf scale)."""
+    a32 = a.astype(jnp.float32)
+    n = a32.shape[0]
+    fac = factorize(a32)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+
+    def solve_block(start):
+        e = jnp.zeros((n, chunk), jnp.float32)
+        cols = jnp.clip(start + jnp.arange(chunk), 0, n - 1)
+        e = e.at[cols, jnp.arange(chunk)].set(1.0)
+        return jsl.lu_solve((fac.lu, fac.piv), e)
+
+    blocks = jax.lax.map(solve_block,
+                         jnp.arange(0, n_pad, chunk))     # (nb, n, chunk)
+    ainv = jnp.moveaxis(blocks, 0, 1).reshape(n, n_pad)[:, :n]
+    return InvSolver(ainv)
 
 
 def solve_refined(fac: LUSolver, matvec64: Callable[[jnp.ndarray], jnp.ndarray],

@@ -106,9 +106,11 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
             for _ in range(correction_iters):
                 dw = dw + fac.solve32(-(r + op.matvec64(dw)))
         else:
+            # refactor() keeps the solver kind (LU factors or explicit
+            # inverse) so both cond branches carry one pytree structure
             fac = jax.lax.cond(
                 it == 0, lambda: fac,
-                lambda: linalg.factorize(op.dense()))
+                lambda: fac.refactor(op.dense()))
             dw = fac.solve32(-r)
         w = w + dw
         r = bc_residual(w)

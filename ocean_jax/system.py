@@ -302,10 +302,15 @@ def build_problem(cfg: OCPConfig,
         # problem-constant Stokes LU: the first matrix every Newton solve
         # factorizes is J(w0=0) — control-independent — so factorize it
         # once here and the per-iteration programs do ZERO factorizations
-        # (raised scoped-VMEM jit for large dense problems, ops/linalg.py)
+        # (raised scoped-VMEM jit for large dense problems, ops/linalg.py).
+        # dense_apply="inverse" builds the explicit f32 inverse instead:
+        # every downstream solve32/solve32_t becomes one MXU matmul.
         from .ops import linalg as _linalg
+        build = (_linalg.invert32
+                 if getattr(cfg, "dense_apply", "lu") == "inverse"
+                 else _linalg.factorize)
         fac0 = _linalg._maybe_large_lu_jit(
-            lambda w: _linalg.factorize(assemble.ns_operator(
+            lambda w: build(assemble.ns_operator(
                 space, bq, w, cfg.viscosity, bc_dofs).dense()))(
                     jnp.zeros(space.ndof))
 

@@ -1,0 +1,93 @@
+"""Hardware A/B for the round-3 fast-path candidates.
+
+Measures the FULL flagship gd_step (K=10⁴, Nx=32, fused, line search off)
+under the cross of:
+  * psrc_method ∈ {sorted, ozaki}   — sort+exact-prefix segment sum vs the
+    slice-decomposed bf16 MXU one-hot contraction (ops/scatter.py),
+  * dense_apply ∈ {lu, inverse}     — sequential triangular solves vs the
+    explicit f32 inverse whose applies are single MXU matmuls
+    (ops/linalg.py::invert32),
+asserting J/gradient/control parity (≤1e-10 relative) between all cells so
+the winner can be flipped to default safely. Run on the TPU:
+
+    python scripts/psrc_micro.py
+
+Writes results/bench_stages/psrc_micro.json.
+"""
+
+import dataclasses
+import itertools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ocean_jax.config import OCPConfig
+    from ocean_jax import system as sys_mod
+    from ocean_jax.pipelines.limits import ensure_ud
+
+    cfg = OCPConfig(ud_experiment="10000_buoys", unit_square_resolution=32,
+                    use_line_search=False, num_steps=1,
+                    ode_backend="pallas", newton_reuse_lu=True)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "ud")
+    u_d, x0 = ensure_ud(cfg, cache_dir=cache)
+
+    out = {"backend": jax.default_backend(), "runs": {}}
+    results = {}
+    for psrc, dense in itertools.product(("sorted", "ozaki"),
+                                         ("lu", "inverse")):
+        tag = f"{psrc}+{dense}"
+        c = dataclasses.replace(cfg, psrc_method=psrc, dense_apply=dense)
+        t0 = time.time()
+        prob = sys_mod.build_problem(c, u_d=u_d, x0=x0)
+        build_s = time.time() - t0
+        f = sys_mod.initial_control(prob, case=4)
+        lr = jnp.asarray(c.LR)
+        res = sys_mod.gd_step(prob, f, lr, use_line_search=False)
+        j = float(res.J)                      # sync; includes compile
+        compile_s = time.time() - t0 - build_s
+        ts = []
+        for _ in range(4):
+            t0 = time.time()
+            res = sys_mod.gd_step(prob, f, lr, use_line_search=False)
+            j = float(res.J)
+            ts.append(time.time() - t0)
+        assert not bool(res.diverged), tag
+        results[tag] = res
+        out["runs"][tag] = {"J": j, "seconds": float(np.median(ts)),
+                            "build_seconds": build_s,
+                            "compile_seconds": compile_s}
+        print(f"{tag}: J={j:.12e} t={out['runs'][tag]['seconds']:.3f}s "
+              f"(build {build_s:.0f}s compile {compile_s:.0f}s)", flush=True)
+
+    ref = results["sorted+lu"]
+    for tag, r in results.items():
+        if tag == "sorted+lu":
+            continue
+        out["runs"][tag]["rel_J_drift"] = abs(
+            float(r.J) - float(ref.J)) / abs(float(ref.J))
+        out["runs"][tag]["max_grad_drift"] = float(
+            jnp.max(jnp.abs(r.grad.quad - ref.grad.quad)))
+        out["runs"][tag]["max_control_drift"] = float(
+            jnp.max(jnp.abs(r.f_new.quad - ref.f_new.quad)))
+        print(f"{tag}: drifts "
+              f"{json.dumps({k: v for k, v in out['runs'][tag].items() if 'drift' in k})}",
+              flush=True)
+
+    os.makedirs("results/bench_stages", exist_ok=True)
+    with open("results/bench_stages/psrc_micro.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print("written results/bench_stages/psrc_micro.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,12 +4,14 @@ import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
 
 
-def test_fast_path_knobs_equivalent():
+@pytest.mark.parametrize("psrc", ["sorted", "ozaki"])
+def test_fast_path_knobs_equivalent(psrc):
     rng = np.random.default_rng(0)
     K = 3
     cfg = OCPConfig(unit_square_resolution=8, ud_experiment=f"{K}_buoys",
@@ -18,9 +20,9 @@ def test_fast_path_knobs_equivalent():
     u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
     prob_ref = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
     cfg_fast = dataclasses.replace(cfg, newton_reuse_lu=True,
-                                   psrc_method="sorted")
+                                   psrc_method=psrc)
     prob_fast = sys_mod.build_problem(cfg_fast, u_d=u_d, x0=seeds)
-    assert prob_fast.newton_reuse_lu and prob_fast.psrc_method == "sorted"
+    assert prob_fast.newton_reuse_lu and prob_fast.psrc_method == psrc
     f = sys_mod.initial_control(prob_ref, case=0)
     lr = jnp.asarray(1.0)
     a = sys_mod.gd_step(prob_ref, f, lr, use_line_search=False)
@@ -28,6 +30,43 @@ def test_fast_path_knobs_equivalent():
     assert np.isclose(float(a.J), float(b.J), rtol=1e-10)
     assert np.allclose(np.asarray(a.f_new.quad), np.asarray(b.f_new.quad),
                        atol=1e-9)
+
+
+def test_dense_apply_inverse_equivalent():
+    """dense_apply="inverse" (explicit f32 inverse, matmul applies)
+    reproduces the LU-apply GD step: refinement absorbs the f32
+    preconditioner difference on both paths."""
+    rng = np.random.default_rng(2)
+    K = 3
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment=f"{K}_buoys",
+                    T=0.05, dt=0.005, newton_reuse_lu=True)
+    seeds = 0.4 + 1.2 * rng.random((K, 2))
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    prob_lu = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
+    prob_inv = sys_mod.build_problem(
+        dataclasses.replace(cfg, dense_apply="inverse"), u_d=u_d, x0=seeds)
+    from ocean_jax.ops.linalg import InvSolver
+    assert isinstance(prob_inv.fac0, InvSolver)
+    f = sys_mod.initial_control(prob_lu, case=0)
+    lr = jnp.asarray(1.0)
+    a = sys_mod.gd_step(prob_lu, f, lr, use_line_search=True)
+    b = sys_mod.gd_step(prob_inv, f, lr, use_line_search=True)
+    assert np.isclose(float(a.J), float(b.J), rtol=1e-10)
+    assert np.allclose(np.asarray(a.f_new.quad), np.asarray(b.f_new.quad),
+                       atol=1e-9)
+    assert not bool(b.diverged)
+
+
+def test_invert32_accuracy():
+    """In-program chunked inverse: ‖I − A·inv(A)‖∞ at f32 level, chunk
+    padding handled (n not a multiple of chunk)."""
+    from ocean_jax.ops.linalg import invert32
+    rng = np.random.default_rng(3)
+    n = 173
+    a = jnp.asarray(rng.standard_normal((n, n)) + n * np.eye(n))
+    inv = invert32(a, chunk=64).ainv
+    resid = np.abs(np.asarray(a.astype(jnp.float32) @ inv) - np.eye(n))
+    assert resid.max() < 1e-4
 
 
 def test_reuse_ls_forward_bit_identical():

@@ -1,14 +1,15 @@
-"""Point-source RHS: binned MXU path equals direct scatter; transpose
-property against interpolation."""
+"""Point-source RHS: binned/ozaki MXU paths equal direct scatter;
+transpose property against interpolation."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.mesh import rectangle_mesh
 from ocean_jax.fem import make_space
 from ocean_jax.fem.interpolate import eval_velocity, interpolate_p2
 from ocean_jax.adjoint import point_source_rhs
-from ocean_jax.ops.scatter import binned_segment_sum
+from ocean_jax.ops.scatter import binned_segment_sum, ozaki_segment_sum
 
 
 def test_binned_segment_sum_exact():
@@ -22,7 +23,33 @@ def test_binned_segment_sum_exact():
     assert np.allclose(np.asarray(out), ref, atol=1e-12)
 
 
-def test_binned_matches_scatter():
+@pytest.mark.parametrize("m,s,chunk", [(10000, 57, 1024), (3000, 2048, 512),
+                                       (2048, 7, 2048)])
+def test_ozaki_segment_sum_exact(m, s, chunk):
+    """bf16-sliced MXU segment sum reproduces the exact f64 result
+    (hot-segment collisions included: s=7 forces ~430 collisions/bin)."""
+    rng = np.random.default_rng(3)
+    d = 12
+    ids = jnp.asarray(rng.integers(0, s, m))
+    # mixed magnitudes stress the shared-exponent slicing
+    vals = jnp.asarray(rng.standard_normal((m, d))
+                       * 10.0 ** rng.integers(-6, 3, (m, 1)))
+    out = ozaki_segment_sum(ids, vals, s, chunk=chunk)
+    ref = np.zeros((s, d))
+    np.add.at(ref, np.asarray(ids), np.asarray(vals, dtype=np.float64))
+    scale = np.abs(np.asarray(vals)).max(axis=0)
+    assert np.abs(np.asarray(out) - ref).max() < 1e-12 * scale.max()
+
+
+def test_ozaki_segment_sum_empty_and_padding_bins():
+    ids = jnp.asarray([0, 0, 2, 3])            # bin 1 empty; 3 == S → drop
+    vals = jnp.asarray([[1.0], [2.0], [4.0], [99.0]])
+    out = np.asarray(ozaki_segment_sum(ids, vals, 3, chunk=4))
+    assert np.allclose(out, [[3.0], [0.0], [4.0]])
+
+
+@pytest.mark.parametrize("method", ["binned", "sorted", "ozaki"])
+def test_fast_methods_match_scatter(method):
     space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 8, 8))
     rng = np.random.default_rng(1)
     K, nt, h = 7, 25, 0.01
@@ -37,7 +64,7 @@ def test_binned_matches_scatter():
     b1 = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
                           method="scatter")
     b2 = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
-                          method="binned")
+                          method=method)
     assert np.allclose(np.asarray(b1), np.asarray(b2), atol=1e-13)
 
 
