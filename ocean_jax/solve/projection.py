@@ -34,9 +34,12 @@ class GradProjector:
         return cls(*children)
 
     @classmethod
-    def build(cls, space: TaylorHoodSpace) -> "GradProjector":
+    def build(cls, space: TaylorHoodSpace,
+              dense_apply: str = "lu") -> "GradProjector":
         mass = assemble.p1_mass_matrix(space)
-        return cls(mass, linalg.factorize(mass))
+        fac = (linalg.invert32(mass) if dense_apply == "inverse"
+               else linalg.factorize(mass))
+        return cls(mass, fac)
 
     def project(self, space: TaylorHoodSpace, u: jnp.ndarray,
                 refine_iters: int = 8) -> jnp.ndarray:

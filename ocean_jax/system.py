@@ -332,7 +332,8 @@ def build_problem(cfg: OCPConfig,
             "(reference_runs data was generated with T=1, dt=0.005)")
     return OCPProblem(
         space=space, bq=bq, bc_dofs=bc_dofs, bc_vals=bc_vals,
-        projector=GradProjector.build(space),
+        projector=GradProjector.build(
+            space, dense_apply=getattr(cfg, "dense_apply", "lu")),
         u_d=jnp.asarray(u_d), x0=jnp.asarray(x0),
         center=jnp.asarray(center),
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
