@@ -77,6 +77,8 @@ class OCPConfig:
     dense_apply: str = "lu"           # lu|inverse — float32 preconditioner application on the dense path: sequential triangular solves, or one chunked-trsm explicit inverse whose every apply is a single MXU matmul
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
     mg_matvec: str = "stencil"        # stencil|scatter — Krylov/smoother operator application: offset-stencil images (structured-grid fast path, ops/stencil.py) or element scatter-add
+    mg_pre: int = 2                   # V-cycle pre-smoothing Jacobi sweeps (per level)
+    mg_post: int = 2                  # V-cycle post-smoothing Jacobi sweeps (per level)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki (exact bf16-MXU slicing, the fast path)
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)

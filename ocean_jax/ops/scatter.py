@@ -162,7 +162,10 @@ def ozaki_segment_sum(seg_ids: jnp.ndarray, values: jnp.ndarray,
         e = (hi - (s - bb)) + (part - bb)
         return (s, lo + e), None
 
-    z = jnp.zeros((num_segments + 1, slices * d), jnp.float32)
+    # carry init derived from the inputs so its device-varying annotation
+    # matches the body output under shard_map (same trick as binned)
+    z = (jnp.zeros((num_segments + 1, slices * d), jnp.float32)
+         + p[0, 0].astype(jnp.float32) * 0)
     (hi, lo), _ = jax.lax.scan(body, (z, z), (ids, p))
     acc = (hi.astype(jnp.float64)
            + lo.astype(jnp.float64)).reshape(num_segments + 1, slices, d)

@@ -399,7 +399,8 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
                       bc_vals: jnp.ndarray, tol: float = 1e-11,
                       restart: int = 60, max_restarts: int = 4,
                       inner_tol: float = 1e-6, max_rounds: int = 4,
-                      matvec_of: Callable = None) -> MGSolveResult:
+                      matvec_of: Callable = None,
+                      pre: int = 2, post: int = 2) -> MGSolveResult:
     """Mesh-robust replacement for the dense ``solve_operator`` (adjoint NS
     solve, ``OCP_dolfin.py:371``): mixed-precision FGMRES + two-grid block
     preconditioner.
@@ -419,7 +420,7 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
     dof-sharded operator application (parallel/dof_sharding.py)."""
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
     M32 = make_block_preconditioner(mg, space_f, op, op_c,
-                                    dtype=jnp.float32)
+                                    dtype=jnp.float32, pre=pre, post=post)
     if matvec_of is not None:
         mv64 = matvec_of(op)
         mv32 = op_matvec(op, jnp.float32)
@@ -462,7 +463,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     max_iter: int = 50, step_tol: float = 1e-6,
                     restart: int = 60, max_restarts: int = 4,
                     polish: int = 1,
-                    matvec_of: Callable = None) -> NewtonResult:
+                    matvec_of: Callable = None,
+                    pre: int = 2, post: int = 2) -> NewtonResult:
     """BC-aware Newton with FGMRES linear steps (same convergence criteria
     as ``newton_solve``; drop-in past the dense-LU resolution cap).
 
@@ -490,7 +492,7 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     op0_c = (coarse_operator_fn(w0) if coarse_operator_fn is not None
              else None)
     M32 = make_block_preconditioner(mg, space_f, op0, op0_c,
-                                    dtype=jnp.float32)
+                                    dtype=jnp.float32, pre=pre, post=post)
 
     r0 = bc_residual(w0)
     r0norm = jnp.linalg.norm(r0)

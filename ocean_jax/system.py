@@ -71,6 +71,8 @@ class OCPProblem:
     # mesh-robust Krylov path past the dense-LU cap (solve/mg.py):
     mg: Optional[MGContext] = None   # two-grid transfer/coarse tables
     linear_solver: str = "dense"     # "dense" | "mg"
+    mg_pre: int = 2                  # V-cycle pre-smoothing sweeps
+    mg_post: int = 2                 # V-cycle post-smoothing sweeps
     # "reference" drops escaped buoys from the adjoint (OCP_dolfin.py:
     # 237-238,354-355); "consistent" keeps their pre-escape contributions
     # (gradient matches FD in escape regimes — beyond the reference)
@@ -102,17 +104,19 @@ class OCPProblem:
                  self.grid, self.buoy_weights, self.fac0),
                 (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
-                 self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu))
+                 self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu,
+                 self.mg_pre, self.mg_post))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         *head, mg, grid, buoy_weights, fac0 = children
         (*scalars, linear_solver, adjoint_mode, ode_backend,
-         adjoint_reuse_lu) = aux
+         adjoint_reuse_lu, mg_pre, mg_post) = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
                    adjoint_mode=adjoint_mode, ode_backend=ode_backend,
                    grid=grid, adjoint_reuse_lu=adjoint_reuse_lu,
-                   buoy_weights=buoy_weights, fac0=fac0)
+                   buoy_weights=buoy_weights, fac0=fac0,
+                   mg_pre=mg_pre, mg_post=mg_post)
 
     @property
     def K(self) -> int:
@@ -341,6 +345,8 @@ def build_problem(cfg: OCPConfig,
         newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
         psrc_method=getattr(cfg, "psrc_method", "scatter"),
         mg=mg_ctx, linear_solver=linear_solver,
+        mg_pre=getattr(cfg, "mg_pre", 2),
+        mg_post=getattr(cfg, "mg_post", 2),
         adjoint_mode=getattr(cfg, "adjoint_mode", "reference"),
         ode_backend=ode_backend,
         grid=(make_grideval(space) if ode_backend != "gather" else None),
@@ -434,7 +440,7 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
         return mg_mod.newton_solve_mg(
             residual, operator, coarse_operator, prob.mg, prob.space,
             jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals,
-            matvec_of=matvec_of)
+            matvec_of=matvec_of, pre=prob.mg_pre, post=prob.mg_post)
 
     return newton_solve(residual, operator, jnp.zeros(prob.space.ndof),
                         prob.bc_dofs, prob.bc_vals,
@@ -575,7 +581,8 @@ def _solve_adjoint_flagged(prob: OCPProblem, fwd: ForwardState,
     op, op_c = adjoint_operators(prob, fwd.w)
     if prob.linear_solver == "mg":
         sol = mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
-                                       prob.bc_vals, matvec_of=matvec_of)
+                                       prob.bc_vals, matvec_of=matvec_of,
+                                       pre=prob.mg_pre, post=prob.mg_post)
         return sol.x, sol.converged
     if prob.adjoint_reuse_lu and fwd.newton.fac is not None:
         # one factorization per GD iteration: the Newton solve's float32

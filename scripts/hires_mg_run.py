@@ -154,6 +154,10 @@ def main():
     ap.add_argument("--viscosity", type=float, default=1.0,
                     help="robustness probe at the 10_buoys golden "
                          "viscosity (ν=0.01): tags runs nx{N}_nu{v}")
+    ap.add_argument("--mg-pre", type=int, default=2,
+                    help="V-cycle pre-smoothing sweeps (A/B: 1 halves "
+                         "smoothing cost per application)")
+    ap.add_argument("--mg-post", type=int, default=2)
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -246,10 +250,13 @@ def main():
     for nx in args.resolutions:
         tag = (f"nx{nx}" if args.viscosity == 1.0
                else f"nx{nx}_nu{args.viscosity:g}")
+        if (args.mg_pre, args.mg_post) != (2, 2):
+            tag += f"_s{args.mg_pre}{args.mg_post}"
         cfg = OCPConfig(ud_experiment="400_buoys",
                         unit_square_resolution=nx,
                         use_line_search=False, num_steps=args.iters,
-                        linear_solver="mg", viscosity=args.viscosity)
+                        linear_solver="mg", viscosity=args.viscosity,
+                        mg_pre=args.mg_pre, mg_post=args.mg_post)
         t0 = time.time()
         prob = sys_mod.build_problem(cfg)
         depth, c = 1, prob.mg
@@ -277,6 +284,7 @@ def main():
             "coarse_ndof": prob.mg.space_c.ndof,
             "mg_levels": depth + 1,
             "viscosity": args.viscosity,
+            "mg_pre": args.mg_pre, "mg_post": args.mg_post,
             "lr": args.lr, "line_search": args.line_search,
             "J": js, "descended": bool(js[-1] < js[0]),
             "seconds_per_iter": times,

@@ -58,6 +58,22 @@ def test_mg_gd_step_parity(pair16):
     assert float(jnp.max(jnp.abs(a.f_new.quad - b.f_new.quad))) < 1e-10
 
 
+def test_mg_light_smoothing_parity(pair16):
+    """pre=1/post=1 sweeps (the cheap-smoothing A/B config): accuracy is
+    still set by the exact-f64 outer refinement, so the GD step matches
+    the dense path at the same 1e-9 bar — sweeps only trade Krylov
+    iterations for smoothing cost."""
+    pd, _ = pair16
+    pm1 = dataclasses.replace(_problem(16, "mg"), mg_pre=1, mg_post=1)
+    f = sys_mod.initial_control(pd, case=0)
+    lr = jnp.asarray(5.0)
+    a = sys_mod.gd_step(pd, f, lr, use_line_search=True, max_ls_iters=10)
+    b = sys_mod.gd_step(pm1, f, lr, use_line_search=True, max_ls_iters=10)
+    assert not bool(b.diverged)
+    assert abs(float(a.J) - float(b.J)) <= 1e-9 * abs(float(a.J))
+    assert float(jnp.max(jnp.abs(a.f_new.quad - b.f_new.quad))) < 1e-10
+
+
 @pytest.mark.slow
 def test_mg_gd_descending_parity_nx32():
     """Nx=32, Armijo on, 5 DESCENDING iterations: dense vs mg agree to

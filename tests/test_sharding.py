@@ -56,6 +56,25 @@ def test_sharded_step_matches_single_device(tiny_problem):
     assert float(escaped) == float(ref.fwd.mask.sum())
 
 
+def test_sharded_step_ozaki_psrc(tiny_problem):
+    """The ozaki (bf16-MXU) point-source reduction inside the shard_map'd
+    step: per-device partial segment sums + psum equal the single-device
+    fused step (exercises the device-varying scan-carry annotation)."""
+    import dataclasses
+    cfg, prob = tiny_problem
+    prob_oz = dataclasses.replace(prob, psrc_method="ozaki")
+    f = sys_mod.initial_control(prob_oz, case=0)
+    lr = jnp.asarray(5.0)
+    ref = sys_mod.gd_step(prob_oz, f, lr, use_line_search=False)
+    step = make_sharded_step(prob_oz, make_buoy_mesh(),
+                             use_line_search=False)
+    fq, fp2, lr2, j, escaped, diverged = step(f.quad, f.p2, lr)
+    assert not bool(diverged)
+    assert np.isclose(float(j), float(ref.J), rtol=1e-12)
+    assert np.allclose(np.asarray(fq), np.asarray(ref.f_new.quad),
+                       atol=1e-12)
+
+
 def test_sharded_line_search_matches(tiny_problem):
     cfg, prob = tiny_problem
     f = sys_mod.initial_control(prob, case=0)
