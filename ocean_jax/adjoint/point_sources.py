@@ -81,7 +81,7 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
     gamma = jnp.where(active[:, None], gamma, 0.0)
 
     vals = phi[:, :, None] * gamma[:, None, :]                # (M, 6, 2)
-    if method in ("binned", "sorted", "ozaki"):
+    if method in ("binned", "sorted", "ozaki", "ozaki_pallas"):
         if method == "binned":
             from ..ops.scatter import binned_segment_sum
             per_cell = binned_segment_sum(cell, vals.reshape(-1, 12),
@@ -90,6 +90,12 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
             from ..ops.scatter import sorted_segment_sum
             per_cell = sorted_segment_sum(cell, vals.reshape(-1, 12),
                                           space.num_cells)
+        elif method == "ozaki_pallas":
+            import jax
+            from ..ops.psum_pallas import ozaki_segment_sum_pallas
+            per_cell = ozaki_segment_sum_pallas(
+                cell, vals.reshape(-1, 12), space.num_cells,
+                interpret=jax.default_backend() != "tpu")
         else:
             from ..ops.scatter import ozaki_segment_sum
             per_cell = ozaki_segment_sum(cell, vals.reshape(-1, 12),

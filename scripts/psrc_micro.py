@@ -43,8 +43,9 @@ def main():
 
     out = {"backend": jax.default_backend(), "runs": {}}
     results = {}
-    for psrc, dense in itertools.product(("sorted", "ozaki"),
-                                         ("lu", "inverse")):
+    cells = list(itertools.product(("sorted", "ozaki"), ("lu", "inverse")))
+    cells.append(("ozaki_pallas", "inverse"))
+    for psrc, dense in cells:
         tag = f"{psrc}+{dense}"
         c = dataclasses.replace(cfg, psrc_method=psrc, dense_apply=dense)
         t0 = time.time()

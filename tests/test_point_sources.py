@@ -41,6 +41,28 @@ def test_ozaki_segment_sum_exact(m, s, chunk):
     assert np.abs(np.asarray(out) - ref).max() < 1e-12 * scale.max()
 
 
+@pytest.mark.parametrize("m,s,chunk,s_tile", [(5000, 57, 1024, 256),
+                                              (3000, 2000, 512, 1024)])
+def test_ozaki_pallas_matches_xla(m, s, chunk, s_tile):
+    """The Pallas kernel (interpret mode on CPU) reproduces the XLA ozaki
+    path and the exact f64 reference, across segment tiling and chunk
+    padding."""
+    from ocean_jax.ops.psum_pallas import ozaki_segment_sum_pallas
+    rng = np.random.default_rng(7)
+    d = 12
+    ids = jnp.asarray(rng.integers(0, s, m))
+    vals = jnp.asarray(rng.standard_normal((m, d))
+                       * 10.0 ** rng.integers(-5, 3, (m, 1)))
+    out = ozaki_segment_sum_pallas(ids, vals, s, chunk=chunk,
+                                   s_tile=s_tile, interpret=True)
+    ref = np.zeros((s, d))
+    np.add.at(ref, np.asarray(ids), np.asarray(vals, dtype=np.float64))
+    scale = np.abs(np.asarray(vals)).max()
+    assert np.abs(np.asarray(out) - ref).max() < 1e-12 * scale
+    xla = ozaki_segment_sum(ids, vals, s, chunk=chunk)
+    assert np.abs(np.asarray(out) - np.asarray(xla)).max() < 1e-12 * scale
+
+
 def test_ozaki_segment_sum_empty_and_padding_bins():
     ids = jnp.asarray([0, 0, 2, 3])            # bin 1 empty; 3 == S → drop
     vals = jnp.asarray([[1.0], [2.0], [4.0], [99.0]])
@@ -48,7 +70,8 @@ def test_ozaki_segment_sum_empty_and_padding_bins():
     assert np.allclose(out, [[3.0], [0.0], [4.0]])
 
 
-@pytest.mark.parametrize("method", ["binned", "sorted", "ozaki"])
+@pytest.mark.parametrize("method", ["binned", "sorted", "ozaki",
+                                    "ozaki_pallas"])
 def test_fast_methods_match_scatter(method):
     space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 8, 8))
     rng = np.random.default_rng(1)
