@@ -10,7 +10,7 @@ from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
 
 
-@pytest.mark.parametrize("psrc", ["sorted", "ozaki"])
+@pytest.mark.parametrize("psrc", ["sorted", "ozaki", "ozaki_pallas"])
 def test_fast_path_knobs_equivalent(psrc):
     rng = np.random.default_rng(0)
     K = 3
