@@ -46,6 +46,16 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
                    default=defaults.checkpoints)
     p.add_argument("--fast", action="store_true",
                    help="enable TPU fast paths (LU reuse, sorted psrc)")
+    p.add_argument("--psrc-method", default=None,
+                   choices=["scatter", "sorted", "binned", "ozaki",
+                            "ozaki_pallas"],
+                   help="point-source reduction (overrides --fast bundle)")
+    p.add_argument("--dense-apply", default=None,
+                   choices=["lu", "inverse"],
+                   help="f32 preconditioner application on the dense path")
+    p.add_argument("--mg-pre", type=int, default=defaults.mg_pre,
+                   help="V-cycle pre-smoothing sweeps (mg path)")
+    p.add_argument("--mg-post", type=int, default=defaults.mg_post)
     return p
 
 
@@ -73,5 +83,10 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         load_string=args.load_q,
         checkpoints=args.checkpoints,
         newton_reuse_lu=args.fast,
-        psrc_method="sorted" if args.fast else "scatter",
+        psrc_method=(args.psrc_method if args.psrc_method is not None
+                     else ("sorted" if args.fast else "scatter")),
+        dense_apply=(args.dense_apply if args.dense_apply is not None
+                     else defaults.dense_apply),
+        mg_pre=args.mg_pre,
+        mg_post=args.mg_post,
     )

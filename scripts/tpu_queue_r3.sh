@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-3 TPU work queue — run once the chip is reachable.
+# Every step is bounded, logged, and crash-resume-safe (the hires runner
+# checkpoints per iteration; the mg leaf-inverse build is disk-cached), so
+# a mid-queue worker crash only costs the in-flight step. Order =
+# decreasing (value / device-minute):
+#   1. psrc_micro     — decides the psrc_method / dense_apply default flips
+#   2. refine_probe   — validates refine_iters 6→4 on the full flagship step
+#   3. stencil_micro  — records the stencil-vs-scatter matvec numbers on TPU
+#   4. nu=0.01 probe  — VERDICT r2 item 9 (Nx=64 at the golden viscosity)
+#   5. Nx=192 run     — VERDICT r2 item 1 done-criterion (3-level V-cycle)
+#   6. bench.py       — refreshed headline number
+cd "$(dirname "$0")/.." || exit 1
+mkdir -p results/bench_stages
+LOG=results/tpu_queue_r3.log
+run() {
+  echo "=== $(date -u +%H:%M:%S) $* ===" | tee -a "$LOG"
+  timeout "$1" "${@:2}" >> "$LOG" 2>&1
+  echo "--- rc=$? ---" | tee -a "$LOG"
+}
+run 3600 python -u scripts/psrc_micro.py
+run 2400 python -u scripts/refine_probe.py
+run 1800 python -u scripts/stencil_micro.py --nx 32 64 96
+run 7200 python -u scripts/hires_mg_run.py --resolutions 64 \
+    --viscosity 0.01 --staged --line-search --skip-crosscheck --iters 6
+run 14400 python -u scripts/hires_mg_run.py --resolutions 192 \
+    --staged --line-search --skip-crosscheck --iters 6
+run 3600 python -u bench.py
+#   7. Nx=256 probe — the 4-level hierarchy's leaf inverse (n=8450) is
+#      already disk-cached from the Nx=64 study, so the build is cheap;
+#      3 iterations demonstrate convergence at 592k dofs
+run 14400 python -u scripts/hires_mg_run.py --resolutions 256 \
+    --staged --line-search --skip-crosscheck --iters 3
+echo "=== queue done $(date -u) ===" | tee -a "$LOG"
