@@ -36,8 +36,8 @@ def _kernel(ids_ref, pieces_ref, hi_ref, lo_ref, *, s_tile: int,
 
     @pl.when(j == 0)
     def _():
-        hi_ref[:] = jnp.zeros_like(hi_ref)
-        lo_ref[:] = jnp.zeros_like(lo_ref)
+        hi_ref[:] = jnp.zeros(hi_ref.shape, hi_ref.dtype)
+        lo_ref[:] = jnp.zeros(lo_ref.shape, lo_ref.dtype)
 
     seg0 = pl.program_id(0) * s_tile
     # onehot[s, m] = (seg0 + s == ids[m]) — rows are segments of this
