@@ -26,6 +26,7 @@ run 7200 python -u scripts/hires_mg_run.py --resolutions 64 \
 run 14400 python -u scripts/hires_mg_run.py --resolutions 192 \
     --staged --line-search --skip-crosscheck --iters 6
 run 3600 python -u bench.py
+run 3600 python -u bench.py --multi-k
 #   7. Nx=256 probe — the 4-level hierarchy's leaf inverse (n=8450) is
 #      already disk-cached from the Nx=64 study, so the build is cheap;
 #      3 iterations demonstrate convergence at 592k dofs
