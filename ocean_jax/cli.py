@@ -56,6 +56,11 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
     p.add_argument("--mg-pre", type=int, default=defaults.mg_pre,
                    help="V-cycle pre-smoothing sweeps (mg path)")
     p.add_argument("--mg-post", type=int, default=defaults.mg_post)
+    p.add_argument("--newton-continuation", type=int,
+                   default=defaults.newton_continuation,
+                   help="viscosity-continuation rungs for the forward "
+                        "Newton solve (vanilla Newton diverges below "
+                        "ν≈0.02; 6 rungs reach the ν=0.01 golden regime)")
     return p
 
 
@@ -89,4 +94,5 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
                      else defaults.dense_apply),
         mg_pre=args.mg_pre,
         mg_post=args.mg_post,
+        newton_continuation=args.newton_continuation,
     )

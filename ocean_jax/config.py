@@ -77,6 +77,7 @@ class OCPConfig:
     dense_apply: str = "lu"           # lu|inverse — float32 preconditioner application on the dense path: sequential triangular solves, or one chunked-trsm explicit inverse whose every apply is a single MXU matmul
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
     mg_matvec: str = "stencil"        # stencil|scatter — Krylov/smoother operator application: offset-stencil images (structured-grid fast path, ops/stencil.py) or element scatter-add
+    newton_continuation: int = 0      # viscosity-continuation rungs for the forward Newton solve (0 = reference-exact vanilla Newton from w=0, which diverges below ν≈0.02). Keep per-rung ν-drops ≤2×: n ≥ log2(1/ν) − 1, e.g. 6 rungs for the ν=0.01 golden-run regime
     mg_pre: int = 2                   # V-cycle pre-smoothing Jacobi sweeps (per level)
     mg_post: int = 2                  # V-cycle post-smoothing Jacobi sweeps (per level)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms

@@ -319,7 +319,8 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
                               op_mixed: Operator,
                               op_mixed_c: Optional[Operator] = None,
                               omega: float = 0.6, pre: int = 2,
-                              post: int = 2, dtype=jnp.float64
+                              post: int = 2, dtype=jnp.float64,
+                              nu_scale: float = 1.0
                               ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build M ≈ P⁻¹ from a (possibly frozen) fine mixed operator and the
     context's coarse hierarchy.
@@ -330,7 +331,14 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     coarse correction is an explicit-inverse matmul (two-grid leaf) or a
     recursive V-cycle over ``mg.sub`` (multi-level, Nx≥192). ``dtype``
     sets the preconditioner arithmetic — float32 feeds the
-    mixed-precision FGMRES production path. ``op_mixed_c`` (the coarse
+    mixed-precision FGMRES production path.
+
+    ``nu_scale`` = (rung ν) / (hierarchy ν): the frozen coarse tables are
+    ν-linear Stokes velocity blocks (w0=0 ⇒ the block is exactly
+    ν·stiffness + identity BC rows, and BC residual rows are zeroed in
+    the cycle), so a viscosity-continuation rung at ν_k reuses the
+    ν-target hierarchy EXACTLY by scaling the coarse correction by
+    1/nu_scale and the Schur term by nu_scale (``system._solve_ns``). ``op_mixed_c`` (the coarse
     assembly of the same form) is only needed by legacy contexts carrying
     neither ``ainv_c`` nor ``sub``: there the coarse velocity block is
     inverted in-program (+1 Newton–Schulz step — the raw f32 inverse left
@@ -355,6 +363,9 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     # HBM past ~10k because XLA's TriangularSolve keeps ~n/256 RHS
     # copies), or the recursive multi-level V-cycle (mg.sub).
     coarse_solve = _coarse_solver(mg, dtype, omega, pre, post)
+    if coarse_solve is not None and nu_scale != 1.0:
+        inner_solve = coarse_solve
+        coarse_solve = lambda rc: inner_solve(rc) * (1.0 / nu_scale)
     if coarse_solve is None:
         assert op_mixed_c is not None, (
             "a context without ainv_c/sub needs the coarse mixed operator")
@@ -367,7 +378,7 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
             lambda rc: (ainv_c @ rc.astype(jnp.float32)).astype(dtype))
 
     bc_f = op_mixed.bc_dofs
-    pm_inv = mg.pm_inv.astype(dtype)
+    pm_inv = (mg.pm_inv * nu_scale).astype(dtype)
     vcycle = _make_vcycle(mg, vel_mv, dinv, bc_f, dtype, omega, pre, post,
                           coarse_solve)
 
@@ -464,7 +475,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     restart: int = 60, max_restarts: int = 4,
                     polish: int = 1,
                     matvec_of: Callable = None,
-                    pre: int = 2, post: int = 2) -> NewtonResult:
+                    pre: int = 2, post: int = 2,
+                    nu_scale: float = 1.0) -> NewtonResult:
     """BC-aware Newton with FGMRES linear steps (same convergence criteria
     as ``newton_solve``; drop-in past the dense-LU resolution cap).
 
@@ -492,7 +504,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     op0_c = (coarse_operator_fn(w0) if coarse_operator_fn is not None
              else None)
     M32 = make_block_preconditioner(mg, space_f, op0, op0_c,
-                                    dtype=jnp.float32, pre=pre, post=post)
+                                    dtype=jnp.float32, pre=pre, post=post,
+                                    nu_scale=nu_scale)
 
     r0 = bc_residual(w0)
     r0norm = jnp.linalg.norm(r0)
@@ -513,9 +526,27 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
             sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,
                                 restart=restart, max_restarts=max_restarts,
                                 tol=tol)
-            w = w + sol.x.astype(jnp.float64)
-            r = bc_residual(w)
-            return (w, r, jnp.linalg.norm(r), it + 1)
+            dw = sol.x.astype(jnp.float64)
+            # residual-monotone damping, FULL STEP PREFERRED: exact Newton
+            # 2-cycles at strong convection (observed on the ν-continuation
+            # ladder: residual pinned at 0.1772 for 50 iterations at any
+            # Krylov effort); when the full step already reduces ‖r‖ —
+            # every ν=1 configuration — the damper is a no-op, so
+            # converging trajectories are bit-identical.
+            w_c = w + dw
+            r_c = bc_residual(w_c)
+            n_c = jnp.linalg.norm(r_c)
+            accept = n_c < rnorm
+            for theta in (0.5, 0.25, 0.125):
+                cand = w + theta * dw
+                rc2 = bc_residual(cand)
+                nc2 = jnp.linalg.norm(rc2)
+                take = (~accept) & (nc2 < rnorm)
+                w_c = jnp.where(take, cand, w_c)
+                r_c = jnp.where(take, rc2, r_c)
+                n_c = jnp.where(take, nc2, n_c)
+                accept = accept | take
+            return (w_c, r_c, n_c, it + 1)
         return body
 
     w, r, rnorm, it = jax.lax.while_loop(

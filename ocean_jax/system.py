@@ -73,6 +73,7 @@ class OCPProblem:
     linear_solver: str = "dense"     # "dense" | "mg"
     mg_pre: int = 2                  # V-cycle pre-smoothing sweeps
     mg_post: int = 2                 # V-cycle post-smoothing sweeps
+    newton_continuation: int = 0     # ν-ladder rungs (0 = vanilla Newton)
     # "reference" drops escaped buoys from the adjoint (OCP_dolfin.py:
     # 237-238,354-355); "consistent" keeps their pre-escape contributions
     # (gradient matches FD in escape regimes — beyond the reference)
@@ -105,18 +106,19 @@ class OCPProblem:
                 (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
                  self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu,
-                 self.mg_pre, self.mg_post))
+                 self.mg_pre, self.mg_post, self.newton_continuation))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         *head, mg, grid, buoy_weights, fac0 = children
         (*scalars, linear_solver, adjoint_mode, ode_backend,
-         adjoint_reuse_lu, mg_pre, mg_post) = aux
+         adjoint_reuse_lu, mg_pre, mg_post, newton_continuation) = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
                    adjoint_mode=adjoint_mode, ode_backend=ode_backend,
                    grid=grid, adjoint_reuse_lu=adjoint_reuse_lu,
                    buoy_weights=buoy_weights, fac0=fac0,
-                   mg_pre=mg_pre, mg_post=mg_post)
+                   mg_pre=mg_pre, mg_post=mg_post,
+                   newton_continuation=newton_continuation)
 
     @property
     def K(self) -> int:
@@ -347,6 +349,7 @@ def build_problem(cfg: OCPConfig,
         mg=mg_ctx, linear_solver=linear_solver,
         mg_pre=getattr(cfg, "mg_pre", 2),
         mg_post=getattr(cfg, "mg_post", 2),
+        newton_continuation=getattr(cfg, "newton_continuation", 0),
         adjoint_mode=getattr(cfg, "adjoint_mode", "reference"),
         ode_backend=ode_backend,
         grid=(make_grideval(space) if ode_backend != "gather" else None),
@@ -425,6 +428,21 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
         return assemble.ns_operator(prob.space, prob.bq, w, prob.nu,
                                     prob.bc_dofs)
 
+    # --- viscosity continuation (newton_continuation > 0) ----------------
+    # Vanilla Newton from w=0 — the reference's solve(F==0, w, bcs) with a
+    # fresh Function each iteration (OCP_dolfin.py:315,325) — diverges at
+    # the 10_buoys golden viscosity ν=0.01 (measured: residual 1.2 → 4e4
+    # over 50 iterations at Nx∈{16,32}, any preset control). A geometric
+    # ν-ladder from 1.0 down to ν, each rung warm-starting the next,
+    # reaches the strong solution (|w|≈5.4) in a handful of Newton steps
+    # per rung. Default 0 = reference-exact single solve. Pre-rungs run
+    # the factorize-per-step Newton (dense) / state-frozen FGMRES Newton
+    # (mg) at the rung viscosity; only the FINAL solve's exact-f64
+    # convergence test touches accuracy, so the ladder is a pure
+    # robustness device.
+    w_start = jnp.zeros(prob.space.ndof)
+    n_rungs = getattr(prob, "newton_continuation", 0)
+
     if prob.linear_solver == "mg":
         if prob.mg.ainv_c is not None or prob.mg.sub is not None:
             # the coarse hierarchy is frozen/precomputed: no per-solve
@@ -437,12 +455,50 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
                                             w_c, prob.nu,
                                             prob.mg.bc_dofs_c)
 
+        if n_rungs > 0 and prob.nu < 1.0:
+            ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
+            for k in range(n_rungs + 1):
+                nu_k = ratio ** k
+                res_k = mg_mod.newton_solve_mg(
+                    lambda w, nu_k=nu_k: assemble.ns_residual(
+                        prob.space, prob.bq, w, f_quad, nu_k),
+                    lambda w, nu_k=nu_k: assemble.ns_operator(
+                        prob.space, prob.bq, w, nu_k, prob.bc_dofs),
+                    None if coarse_operator is None else
+                    (lambda w, nu_k=nu_k: assemble.ns_operator(
+                        prob.mg.space_c, prob.mg.bq_c,
+                        mg_mod.inject_state(prob.mg, prob.space, w),
+                        nu_k, prob.mg.bc_dofs_c)),
+                    prob.mg, prob.space, w_start, prob.bc_dofs,
+                    prob.bc_vals, matvec_of=matvec_of,
+                    pre=prob.mg_pre, post=prob.mg_post,
+                    nu_scale=nu_k / prob.nu)
+                w_start = res_k.w
+
         return mg_mod.newton_solve_mg(
             residual, operator, coarse_operator, prob.mg, prob.space,
-            jnp.zeros(prob.space.ndof), prob.bc_dofs, prob.bc_vals,
+            w_start, prob.bc_dofs, prob.bc_vals,
             matvec_of=matvec_of, pre=prob.mg_pre, post=prob.mg_post)
 
-    return newton_solve(residual, operator, jnp.zeros(prob.space.ndof),
+    if n_rungs > 0 and prob.nu < 1.0:
+        ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
+        for k in range(n_rungs + 1):
+            nu_k = ratio ** k                # 1.0·r^0 … down to ν·r⁻¹
+            res_k = newton_solve(
+                lambda w, nu_k=nu_k: assemble.ns_residual(
+                    prob.space, prob.bq, w, f_quad, nu_k),
+                lambda w, nu_k=nu_k: assemble.ns_operator(
+                    prob.space, prob.bq, w, nu_k, prob.bc_dofs),
+                w_start, prob.bc_dofs, prob.bc_vals)
+            w_start = res_k.w
+
+    if n_rungs > 0 and prob.nu < 1.0:
+        # continuation: the Stokes-frozen fac0 belongs to w=0 at the
+        # target ν — at the warm-started strong state its stale-factor
+        # corrections can diverge; factorize J(w_start) instead
+        return newton_solve(residual, operator, w_start,
+                            prob.bc_dofs, prob.bc_vals)
+    return newton_solve(residual, operator, w_start,
                         prob.bc_dofs, prob.bc_vals,
                         reuse_factorization=prob.newton_reuse_lu,
                         fac0=prob.fac0)

@@ -158,6 +158,10 @@ def main():
                     help="V-cycle pre-smoothing sweeps (A/B: 1 halves "
                          "smoothing cost per application)")
     ap.add_argument("--mg-post", type=int, default=2)
+    ap.add_argument("--newton-continuation", type=int, default=0,
+                    help="viscosity-continuation rungs (vanilla Newton "
+                         "from w=0 diverges below ν≈0.02; 4 rungs reach "
+                         "the ν=0.01 golden-run regime)")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -256,7 +260,8 @@ def main():
                         unit_square_resolution=nx,
                         use_line_search=False, num_steps=args.iters,
                         linear_solver="mg", viscosity=args.viscosity,
-                        mg_pre=args.mg_pre, mg_post=args.mg_post)
+                        mg_pre=args.mg_pre, mg_post=args.mg_post,
+                        newton_continuation=args.newton_continuation)
         t0 = time.time()
         prob = sys_mod.build_problem(cfg)
         depth, c = 1, prob.mg
@@ -285,6 +290,7 @@ def main():
             "mg_levels": depth + 1,
             "viscosity": args.viscosity,
             "mg_pre": args.mg_pre, "mg_post": args.mg_post,
+            "newton_continuation": args.newton_continuation,
             "lr": args.lr, "line_search": args.line_search,
             "J": js, "descended": bool(js[-1] < js[0]),
             "seconds_per_iter": times,

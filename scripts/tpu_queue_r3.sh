@@ -21,8 +21,20 @@ run() {
 run 3600 python -u scripts/psrc_micro.py
 run 2400 python -u scripts/refine_probe.py
 run 1800 python -u scripts/stencil_micro.py --nx 32 64 96
+#   4a. the reference's ACTUAL ν=0.01 envelope: the 10_buoys golden
+#       config (Nx=32, dense path) end-to-end with the ν-continuation
+#       ladder — vanilla Newton from w=0 diverges here on any
+#       implementation of the reference's algorithm
+run 7200 python -u -m ocean_jax.pipelines.ocp --ud-experiment 10_buoys \
+    --viscosity 0.01 --unit-square-resolution 32 --num-steps 6 \
+    --newton-continuation 6 --fast --out-dir results/golden_nu001/
+#   4b. beyond-reference robustness probe: Nx=64 on the mg path — the
+#       Stokes-coarse Jacobi V-cycle loses convection-dominated blocks at
+#       cell-Péclet ≳ 10 (stall residual scales ∝ h: 0.18 at Nx=16,
+#       5.8e-4 at Nx=32); Nx=64 sits at Pe≈3 — measure where it lands
 run 7200 python -u scripts/hires_mg_run.py --resolutions 64 \
-    --viscosity 0.01 --staged --line-search --skip-crosscheck --iters 6
+    --viscosity 0.01 --staged --line-search --skip-crosscheck --iters 6 \
+    --newton-continuation 6
 run 14400 python -u scripts/hires_mg_run.py --resolutions 192 \
     --staged --line-search --skip-crosscheck --iters 6
 run 3600 python -u bench.py

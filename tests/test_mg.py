@@ -142,6 +142,12 @@ def test_mg_mesh_independent_cycles():
 def test_mg_lshape_staircase():
     """Odd L-shape resolutions put staircase dofs outside the analytic
     domain; the transfer builder snaps them (O(h) rows near the corner)."""
+    # same compile-history-dependent XLA:CPU segfault as
+    # test_multilevel_vcycle_parity below — the round-3 tests added
+    # earlier in the suite shifted the fragile compile here; drop the
+    # accumulated compile state first (hardware unaffected)
+    import jax
+    jax.clear_caches()
     cfg = OCPConfig(L_shape=True, L_shape_resolution=13,
                     ud_experiment="3_buoys", linear_solver="mg",
                     T=0.05, dt=0.005)
