@@ -34,7 +34,8 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
                      mask: jnp.ndarray, h: float,
                      center: jnp.ndarray,
                      method: str = "scatter",
-                     active_t: jnp.ndarray = None) -> jnp.ndarray:
+                     active_t: jnp.ndarray = None,
+                     grid=None, u_values: jnp.ndarray = None) -> jnp.ndarray:
     """Assemble b = Σ_{buoys,k} γ·δ(x_k) into a mixed-space vector.
 
     u: (n_p2, 2) velocity dofs of the primal solution;
@@ -57,8 +58,34 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
     (out-of-domain lanes swap in the precomputed domain-center cell) —
     bit-identical to evaluating at ``where(inside, x, center)`` since
     in-domain lanes reuse the very same (cell, ξ).
+
+    Method "fused" (requires ``grid`` + ``u_values``; reference escape
+    semantics only, i.e. ``active_t`` is None) runs the whole stage —
+    location, basis weights, reduction — as ONE Pallas kernel
+    (``adjoint/pallas_psrc.py``). γ uses the primal ODE's own evaluations:
+    for unmasked buoys every trajectory point is inside (one failed
+    evaluation masks the buoy and overwrites its whole trajectory,
+    ``OCP_dolfin.py:209-229``), so u(x_k) IS ``u_values[k]`` — the same
+    values the reference's γ re-evaluation produces at `:362` — and masked
+    lanes are zeroed before they could matter.
     """
     K, nt, _ = x.shape
+    if method == "fused":
+        if active_t is not None:
+            raise NotImplementedError(
+                "psrc_method='fused' implements reference escape "
+                "semantics only; consistent-adjoint callers use the XLA "
+                "reductions")
+        if grid is None or u_values is None:
+            raise ValueError(
+                "psrc_method='fused' needs the half-grid tables and the "
+                "primal u_values (system.build_problem wires both)")
+        from .pallas_psrc import point_source_image_pallas
+        gamma = h * ((u_d - u_values) + mu)
+        gamma = jnp.where(~mask[:, None, None], gamma, 0.0)
+        b_vel = point_source_image_pallas(grid, x, gamma)
+        return jnp.concatenate([b_vel.reshape(-1),
+                                jnp.zeros(space.n_p1)])
     pts = x.reshape(-1, 2)
     cell, xi, inside = locate_points(space.locator, pts)
     phi = _p2_basis_jnp(xi)                                   # (M, 6)

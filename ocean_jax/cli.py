@@ -48,7 +48,7 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
                    help="enable TPU fast paths (LU reuse, sorted psrc)")
     p.add_argument("--psrc-method", default=None,
                    choices=["scatter", "sorted", "binned", "ozaki",
-                            "ozaki_pallas"],
+                            "ozaki_pallas", "fused"],
                    help="point-source reduction (overrides --fast bundle)")
     p.add_argument("--dense-apply", default=None,
                    choices=["lu", "inverse"],

@@ -352,7 +352,12 @@ def build_problem(cfg: OCPConfig,
         newton_continuation=getattr(cfg, "newton_continuation", 0),
         adjoint_mode=getattr(cfg, "adjoint_mode", "reference"),
         ode_backend=ode_backend,
-        grid=(make_grideval(space) if ode_backend != "gather" else None),
+        # the fused point-source kernel locates against the half-grid
+        # tables too, so "fused" forces them even on the gather backend
+        grid=(make_grideval(space)
+              if (ode_backend != "gather"
+                  or getattr(cfg, "psrc_method", "scatter") == "fused")
+              else None),
         adjoint_reuse_lu=resolve_adjoint_reuse(
             getattr(cfg, "adjoint_reuse_lu", "auto"), cfg.viscosity,
             linear_solver),
@@ -589,7 +594,8 @@ def _adjoint_rhs_body(prob: OCPProblem, u: jnp.ndarray,
     mu = solve_adjoint_ode(prob.space, grad_u, x, u_values,
                            prob.u_d, mask_eff, prob.h, grid=ode_grid)
     return point_source_rhs(prob.space, u, x, mu, prob.u_d, mask_eff,
-                            prob.h, prob.center, method=prob.psrc_method)
+                            prob.h, prob.center, method=prob.psrc_method,
+                            grid=prob.grid, u_values=u_values)
 
 
 def adjoint_rhs(prob: OCPProblem, fwd: ForwardState,

@@ -41,12 +41,34 @@ def main():
         os.path.abspath(__file__))), "data", "ud")
     u_d, x0 = ensure_ud(cfg, cache_dir=cache)
 
+    # Crash-resume: the TPU worker can die mid-queue (BACKLOG platform
+    # fact 3) — reload completed cells from the partial JSON + the ref
+    # cell's arrays from the side npz and only run what's missing.
+    json_path = "results/bench_stages/psrc_micro.json"
+    npz_path = "results/bench_stages/psrc_micro_arrays.npz"
     out = {"backend": jax.default_backend(), "runs": {}}
+    arrays = {}
+    if os.path.exists(json_path):
+        with open(json_path) as fh:
+            prev = json.load(fh)
+        out["runs"].update(prev.get("runs", {}))
+        if os.path.exists(npz_path):
+            arrays = dict(np.load(npz_path))
+        print(f"resuming: {sorted(out['runs'])} already measured", flush=True)
+
+    def _checkpoint():
+        os.makedirs("results/bench_stages", exist_ok=True)
+        with open(json_path, "w") as fh:
+            json.dump(out, fh, indent=2)
+        np.savez(npz_path, **arrays)
+
     results = {}
     cells = list(itertools.product(("sorted", "ozaki"), ("lu", "inverse")))
     cells.append(("ozaki_pallas", "inverse"))
     for psrc, dense in cells:
         tag = f"{psrc}+{dense}"
+        if tag in out["runs"] and f"{tag}:grad" in arrays:
+            continue
         c = dataclasses.replace(cfg, psrc_method=psrc, dense_apply=dense)
         t0 = time.time()
         prob = sys_mod.build_problem(c, u_d=u_d, x0=x0)
@@ -64,30 +86,32 @@ def main():
             ts.append(time.time() - t0)
         assert not bool(res.diverged), tag
         results[tag] = res
+        arrays[f"{tag}:grad"] = np.asarray(res.grad.quad)
+        arrays[f"{tag}:control"] = np.asarray(res.f_new.quad)
         out["runs"][tag] = {"J": j, "seconds": float(np.median(ts)),
                             "build_seconds": build_s,
                             "compile_seconds": compile_s}
         print(f"{tag}: J={j:.12e} t={out['runs'][tag]['seconds']:.3f}s "
               f"(build {build_s:.0f}s compile {compile_s:.0f}s)", flush=True)
+        _checkpoint()
 
-    ref = results["sorted+lu"]
-    for tag, r in results.items():
-        if tag == "sorted+lu":
+    ref_tag = "sorted+lu"
+    for tag in list(out["runs"]):
+        if tag == ref_tag or f"{tag}:grad" not in arrays:
             continue
         out["runs"][tag]["rel_J_drift"] = abs(
-            float(r.J) - float(ref.J)) / abs(float(ref.J))
-        out["runs"][tag]["max_grad_drift"] = float(
-            jnp.max(jnp.abs(r.grad.quad - ref.grad.quad)))
-        out["runs"][tag]["max_control_drift"] = float(
-            jnp.max(jnp.abs(r.f_new.quad - ref.f_new.quad)))
+            out["runs"][tag]["J"] - out["runs"][ref_tag]["J"]) / abs(
+            out["runs"][ref_tag]["J"])
+        out["runs"][tag]["max_grad_drift"] = float(np.max(np.abs(
+            arrays[f"{tag}:grad"] - arrays[f"{ref_tag}:grad"])))
+        out["runs"][tag]["max_control_drift"] = float(np.max(np.abs(
+            arrays[f"{tag}:control"] - arrays[f"{ref_tag}:control"])))
         print(f"{tag}: drifts "
               f"{json.dumps({k: v for k, v in out['runs'][tag].items() if 'drift' in k})}",
               flush=True)
 
-    os.makedirs("results/bench_stages", exist_ok=True)
-    with open("results/bench_stages/psrc_micro.json", "w") as fh:
-        json.dump(out, fh, indent=2)
-    print("written results/bench_stages/psrc_micro.json", flush=True)
+    _checkpoint()
+    print(f"written {json_path}", flush=True)
 
 
 if __name__ == "__main__":

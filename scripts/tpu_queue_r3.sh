@@ -11,6 +11,11 @@
 #   5. Nx=192 run     — VERDICT r2 item 1 done-criterion (3-level V-cycle)
 #   6. bench.py       — refreshed headline number
 cd "$(dirname "$0")/.." || exit 1
+# Persistent XLA compile cache: the flagship fused-step compile is
+# O(minutes) through the tunnel; with the cache a crash-resume repays
+# none of it (verified on axon: 3.8 s -> 0.5 s cross-process).
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 mkdir -p results/bench_stages
 LOG=results/tpu_queue_r3.log
 run() {

@@ -10,7 +10,8 @@ from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
 
 
-@pytest.mark.parametrize("psrc", ["sorted", "ozaki", "ozaki_pallas"])
+@pytest.mark.parametrize("psrc", ["sorted", "ozaki", "ozaki_pallas",
+                                  "fused"])
 def test_fast_path_knobs_equivalent(psrc):
     rng = np.random.default_rng(0)
     K = 3
@@ -27,9 +28,13 @@ def test_fast_path_knobs_equivalent(psrc):
     lr = jnp.asarray(1.0)
     a = sys_mod.gd_step(prob_ref, f, lr, use_line_search=False)
     b = sys_mod.gd_step(prob_fast, f, lr, use_line_search=False)
-    assert np.isclose(float(a.J), float(b.J), rtol=1e-10)
+    # "fused" runs its ds location in Pallas interpret mode on CPU, where
+    # XLA:CPU fusion can degrade the EFTs to f32-level (same caveat as
+    # tests/test_ode_backends.py:205-210); hardware parity is 1e-12-level
+    tol_j, tol_f = (3e-6, 1e-6) if psrc == "fused" else (1e-10, 1e-9)
+    assert np.isclose(float(a.J), float(b.J), rtol=tol_j)
     assert np.allclose(np.asarray(a.f_new.quad), np.asarray(b.f_new.quad),
-                       atol=1e-9)
+                       atol=tol_f)
 
 
 def test_dense_apply_inverse_equivalent():

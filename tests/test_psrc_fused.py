@@ -1,0 +1,124 @@
+"""Fused Pallas point-source kernel (adjoint/pallas_psrc.py): parity with
+the f64 scatter path on system-consistent inputs, the interpolation
+transpose identity, L-shape domains, and domain gating.
+
+System-consistent means the reference invariant holds: an unmasked buoy's
+trajectory points are ALL inside the domain (one failed evaluation masks
+the buoy and overwrites its whole trajectory with the domain center,
+OCP_dolfin.py:209-229), and ``u_values[k] == u(x_k)`` from the same
+evaluator. The fused method's γ is built from ``u_values`` directly, so
+its tests construct inputs the way ``system._forward`` does instead of
+planting artificial out-of-domain points on unmasked buoys.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocean_jax.mesh import rectangle_mesh, l_shape_mesh
+from ocean_jax.fem import make_space
+from ocean_jax.fem.interpolate import eval_velocity, interpolate_p2
+from ocean_jax.adjoint import point_source_rhs
+from ocean_jax.ode.grideval import make_grideval
+
+# CPU runs the kernel in (eager) interpret mode, where XLA:CPU fusion can
+# degrade the double-single location EFTs to f32 level (the 2e-6 bound of
+# tests/test_pallas_eval.py); on TPU hardware the kernel is exact to the
+# Ozaki slicing tail (~1e-12 absolute).
+_TOL = 1e-12 if jax.default_backend() == "tpu" else 5e-6
+
+
+def _system_consistent_inputs(space, rng, K=9, nt=30, h=0.01,
+                              lo=0.2, hi=1.8, mask_idx=(4,)):
+    """Trajectories with the reference escape invariant: unmasked buoys
+    fully inside; masked buoys parked at the center (the reference's
+    trajectory overwrite)."""
+    center = jnp.asarray([1.0, 1.0])
+    u = interpolate_p2(space, lambda c: np.stack(
+        [0.3 * np.sin(c[:, 1]), -0.3 * np.cos(c[:, 0])], axis=1))
+    x = jnp.asarray(lo + (hi - lo) * rng.random((K, nt, 2)))
+    mask = np.zeros(K, dtype=bool)
+    mask[list(mask_idx)] = True
+    x = jnp.where(jnp.asarray(mask)[:, None, None], center, x)
+    u_values, _ = eval_velocity(space, u, x)
+    mu = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    u_d = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    return u, x, u_values, mu, u_d, jnp.asarray(mask), center, h
+
+
+def test_fused_matches_scatter_square():
+    space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 8, 8))
+    grid = make_grideval(space)
+    rng = np.random.default_rng(11)
+    u, x, uv, mu, u_d, mask, center, h = _system_consistent_inputs(
+        space, rng)
+    b_ref = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                             method="scatter")
+    b_fused = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                               method="fused", grid=grid, u_values=uv)
+    scale = float(jnp.abs(b_ref).max())
+    assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
+
+
+def test_fused_matches_scatter_lshape():
+    """L-shape notch projection inside the kernel matches locate_points."""
+    space = make_space(l_shape_mesh(12))
+    grid = make_grideval(space)
+    rng = np.random.default_rng(13)
+    center = jnp.asarray(space.locator.origin) + 0.25 * jnp.asarray(
+        [space.locator.extent[2] - space.locator.origin[0],
+         space.locator.extent[3] - space.locator.origin[1]])
+    K, nt, h = 6, 20, 0.01
+    u = interpolate_p2(space, lambda c: np.stack(
+        [0.2 * c[:, 1], -0.2 * c[:, 0]], axis=1))
+    # keep unmasked trajectories in the always-inside lower-left quadrant
+    xmin, ymin, xmax, ymax = (float(v) for v in space.locator.extent)
+    x = jnp.asarray(np.stack(
+        [xmin + 0.05 + 0.4 * (xmax - xmin) * rng.random((K, nt)),
+         ymin + 0.05 + 0.4 * (ymax - ymin) * rng.random((K, nt))], axis=-1))
+    mask = jnp.asarray([False, False, True, False, False, False])
+    x = jnp.where(mask[:, None, None], center, x)
+    uv, inside = eval_velocity(space, u, x)
+    assert bool(inside.all())
+    mu = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    u_d = jnp.asarray(rng.standard_normal((K, nt, 2)))
+    b_ref = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                             method="scatter")
+    b_fused = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                               method="fused", grid=grid, u_values=uv)
+    scale = float(jnp.abs(b_ref).max())
+    assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
+
+
+def test_fused_transpose_identity():
+    """⟨PS(γ at p), w⟩ == γ · w(p) for the fused kernel too (SURVEY §7.3):
+    u = 0, μ = 0, u_d = γ/h plants exact γ sources."""
+    space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 6, 6))
+    grid = make_grideval(space)
+    rng = np.random.default_rng(5)
+    w_vel = jnp.asarray(rng.standard_normal((space.n_p2, 2)))
+    pts = jnp.asarray(0.2 + 1.6 * rng.random((2, 5, 2)))
+    gamma = jnp.asarray(rng.standard_normal((2, 5, 2)))
+    b = point_source_rhs(space, jnp.zeros((space.n_p2, 2)), pts,
+                         jnp.zeros((2, 5, 2)), gamma,
+                         jnp.asarray([False, False]), 1.0,
+                         jnp.asarray([1.0, 1.0]), method="fused",
+                         grid=grid, u_values=jnp.zeros((2, 5, 2)))
+    lhs = float(b[: 2 * space.n_p2] @ w_vel.reshape(-1))
+    w_at_p, _ = eval_velocity(space, w_vel, pts)
+    rhs = float(jnp.sum(gamma * w_at_p))
+    assert np.isclose(lhs, rhs, rtol=max(_TOL, 1e-10))
+
+
+def test_fused_gating():
+    space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 4, 4))
+    grid = make_grideval(space)
+    z = jnp.zeros((1, 3, 2))
+    args = (space, jnp.zeros((space.n_p2, 2)), 0.5 + z, z, z,
+            jnp.asarray([False]), 1.0, jnp.asarray([1.0, 1.0]))
+    with pytest.raises(ValueError):
+        point_source_rhs(*args, method="fused")          # missing tables
+    with pytest.raises(NotImplementedError):
+        point_source_rhs(*args, method="fused", grid=grid,
+                         u_values=z, active_t=jnp.ones((1, 3), bool))
