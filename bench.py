@@ -51,8 +51,10 @@ K_BASELINES = {"100_buoys": 11.98, "400_buoys": 77.82,
 def _build(k_experiment=K_EXPERIMENT):
     """The benchmark problem with the TPU fast paths on (all tested equal
     to the reference-exact paths): one LU per Newton solve + corrected
-    steps; sort+exact-prefix point-source reduction (7x faster than XLA
-    scatter at 2e6 points)."""
+    steps; exact bf16-MXU Ozaki point-source reduction + explicit-inverse
+    dense applies — the winning psrc_micro cell on hardware (0.671 s vs
+    1.332 s for sorted+lu at K=10⁴, results/bench_stages/psrc_micro.json;
+    J parity ≤1e-12 across all cells)."""
     import dataclasses
     import jax.numpy as jnp
     from ocean_jax.config import OCPConfig
@@ -67,13 +69,13 @@ def _build(k_experiment=K_EXPERIMENT):
                     # ~1e-13 double-single eval roundoff amplified by the
                     # adjoint solve's conditioning); 2.26 → 1.78 s per GD
                     # iteration at K=10⁴
-                    ode_backend="pallas")
+                    ode_backend="pallas", dense_apply="inverse")
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "data", "ud")
     u_d, x0 = ensure_ud(cfg, cache_dir=cache)
     prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
     prob = dataclasses.replace(prob, newton_reuse_lu=True,
-                               psrc_method="sorted")
+                               psrc_method="ozaki")
     f = sys_mod.initial_control(prob, case=4)
     return cfg, prob, f, jnp.asarray(cfg.LR)
 

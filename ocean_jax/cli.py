@@ -45,7 +45,8 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
     p.add_argument("--checkpoints", action="store_true",
                    default=defaults.checkpoints)
     p.add_argument("--fast", action="store_true",
-                   help="enable TPU fast paths (LU reuse, sorted psrc)")
+                   help="enable TPU fast paths (LU reuse, ozaki psrc, "
+                        "explicit-inverse dense applies)")
     p.add_argument("--psrc-method", default=None,
                    choices=["scatter", "sorted", "binned", "ozaki",
                             "ozaki_pallas", "fused"],
@@ -88,10 +89,14 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         load_string=args.load_q,
         checkpoints=args.checkpoints,
         newton_reuse_lu=args.fast,
+        # --fast bundle: the hardware-winning psrc_micro cell
+        # (results/bench_stages/psrc_micro.json: ozaki+inverse 0.671 s vs
+        # sorted+lu 1.332 s per K=10⁴ GD iteration, J parity ≤1e-12)
         psrc_method=(args.psrc_method if args.psrc_method is not None
-                     else ("sorted" if args.fast else "scatter")),
+                     else ("ozaki" if args.fast else "scatter")),
         dense_apply=(args.dense_apply if args.dense_apply is not None
-                     else defaults.dense_apply),
+                     else ("inverse" if args.fast
+                           else defaults.dense_apply)),
         mg_pre=args.mg_pre,
         mg_post=args.mg_post,
         newton_continuation=args.newton_continuation,

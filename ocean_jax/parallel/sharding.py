@@ -93,10 +93,16 @@ def make_buoy_ode_impl(mesh: Mesh):
             prob_s = dataclasses.replace(prob_nb, u_d=ud_s, x0=x0_s,
                                          buoy_weights=w_s)
             return sys_mod._primal_ode(prob_s, u_)
+        # check_vma=False: the per-shard body may lower Pallas kernels
+        # (ode_backend="pallas", psrc_method="fused"/"ozaki_pallas") whose
+        # pallas_call out_shapes carry no varying-mesh-axes annotation —
+        # JAX 0.9's vma check rejects them, and annotating trips interpret-
+        # mode constant/vma mismatches inside the kernel trace. Parity with
+        # the single-device step is pinned by tests/test_sharding.py.
         return jax.shard_map(
             shard, mesh=mesh,
             in_specs=(P(), P(), P("buoy"), P("buoy"), P("buoy")),
-            out_specs=P("buoy"))(
+            out_specs=P("buoy"), check_vma=False)(
                 _strip_buoys(prob), u, prob.x0, prob.u_d,
                 prob.buoy_weights)
     return impl
@@ -115,12 +121,14 @@ def make_buoy_adjoint_rhs_impl(mesh: Mesh):
             b_local = sys_mod._adjoint_rhs_body(prob_s, u_, gu_, x_s,
                                                 uv_s, m_s, xr_s, kf_s)
             return jax.lax.psum(b_local, "buoy")
+        # check_vma=False for the same Pallas-kernel reason as
+        # make_buoy_ode_impl above.
         return jax.shard_map(
             shard, mesh=mesh,
             in_specs=(P(), P(), P(), P("buoy"), P("buoy"), P("buoy"),
                       P("buoy"), P("buoy"), P("buoy"), P("buoy"),
                       P("buoy")),
-            out_specs=P())(
+            out_specs=P(), check_vma=False)(
                 _strip_buoys(prob), u, grad_u, x, u_values, mask,
                 x_raw, kfail, prob.x0, prob.u_d, prob.buoy_weights)
     return impl

@@ -57,8 +57,11 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True,
     """Run the scalability experiment.
 
     ``fast_paths=True`` (default) turns on the TPU fast paths — LU-reuse
-    Newton and the sorted exact point-source reduction — both tested equal
-    to the reference-exact paths; the GD driver detects a diverged stale-LU
+    Newton, the exact bf16-MXU Ozaki point-source reduction, and
+    explicit-inverse dense applies (the winning psrc_micro cell on
+    hardware: 0.671 s vs 1.332 s sorted+lu per K=10⁴ GD iteration,
+    results/bench_stages/psrc_micro.json) — all tested equal to the
+    reference-exact paths; the GD driver detects a diverged stale-LU
     solve and re-solves with fresh factorizations (opt/driver.py), so the
     headline ~2.3 s/iter at K=10⁴ is the out-of-the-box behavior. Pass
     ``fast_paths=False`` to force the conservative per-step-LU paths."""
@@ -67,8 +70,10 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True,
         cfg = dataclasses.replace(
             cfg,
             newton_reuse_lu=True,
-            psrc_method=("sorted" if cfg.psrc_method == "scatter"
-                         else cfg.psrc_method))
+            psrc_method=("ozaki" if cfg.psrc_method == "scatter"
+                         else cfg.psrc_method),
+            dense_apply=("inverse" if cfg.dense_apply == "lu"
+                         else cfg.dense_apply))
     u_d, x0 = ensure_ud(cfg)
     prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
     mesh = rectangle_mesh((0.0, 0.0), (2.0, 2.0),

@@ -65,6 +65,8 @@ def main():
     results = {}
     cells = list(itertools.product(("sorted", "ozaki"), ("lu", "inverse")))
     cells.append(("ozaki_pallas", "inverse"))
+    cells.append(("fused", "inverse"))
+    cells.append(("fused", "lu"))
     for psrc, dense in cells:
         tag = f"{psrc}+{dense}"
         if tag in out["runs"] and f"{tag}:grad" in arrays:

@@ -20,7 +20,8 @@ def test_cli_roundtrip():
     assert not cfg.use_line_search
     assert cfg.LR == 2.5
     assert cfg.grad_check
-    assert cfg.newton_reuse_lu and cfg.psrc_method == "sorted"
+    assert cfg.newton_reuse_lu and cfg.psrc_method == "ozaki"
+    assert cfg.dense_apply == "inverse"
     assert cfg.alpha_scaled == 400 * 1e-6
 
 

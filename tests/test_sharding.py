@@ -75,6 +75,29 @@ def test_sharded_step_ozaki_psrc(tiny_problem):
                        atol=1e-12)
 
 
+def test_sharded_step_fused_psrc(tiny_problem):
+    """The fully fused Pallas point-source kernel inside the shard_map'd
+    step: per-device partial half-grid images + psum equal the
+    single-device step. Tolerances are the CPU-interpret EFT floor
+    (tests/test_psrc_fused.py:25-29); per-shard γ scales also differ from
+    the global scale, moving the Ozaki slicing tail (~1e-14)."""
+    import dataclasses
+    from ocean_jax.ode.grideval import make_grideval
+    cfg, prob = tiny_problem
+    prob_fu = dataclasses.replace(prob, psrc_method="fused",
+                                  grid=make_grideval(prob.space))
+    f = sys_mod.initial_control(prob_fu, case=0)
+    lr = jnp.asarray(5.0)
+    ref = sys_mod.gd_step(prob_fu, f, lr, use_line_search=False)
+    step = make_sharded_step(prob_fu, make_buoy_mesh(),
+                             use_line_search=False)
+    fq, fp2, lr2, j, escaped, diverged = step(f.quad, f.p2, lr)
+    assert not bool(diverged)
+    assert np.isclose(float(j), float(ref.J), rtol=3e-6)
+    assert np.allclose(np.asarray(fq), np.asarray(ref.f_new.quad),
+                       atol=1e-6)
+
+
 def test_sharded_line_search_matches(tiny_problem):
     cfg, prob = tiny_problem
     f = sys_mod.initial_control(prob, case=0)
