@@ -156,7 +156,15 @@ def run_gradient_descent(cfg: OCPConfig, prob: "sys_mod.OCPProblem",
                         # accepted probe control == updated control exactly
                         fwd_next = fwd_ls
                     break
-                lr = max(cfg.tau * lr, cfg.LR_MIN)
+                new_lr = max(cfg.tau * lr, cfg.LR_MIN)
+                if new_lr == lr:
+                    # floored at LR_MIN: re-probing is the identical solve
+                    # (the reference's while loop would spin forever here,
+                    # OCP_dolfin.py:415); accept after the one failed probe
+                    if verbose:
+                        print("line search floored at LR_MIN; accepting")
+                    break
+                lr = new_lr
                 if inner >= cfg.max_line_search_iters:
                     if verbose:
                         print("line search hit safety bound; accepting")

@@ -907,7 +907,12 @@ def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
                            matvec_of=matvec_of)
             j_new = cost(prob, res.u_values, f_ls)
             accept = (j_old - j_new) >= lr_ * cond_thresh  # (:413)
-            return (~accept) & (it < max_ls_iters)
+            # lr_ <= lr_min: the body's max(tau*lr, lr_min) can no longer
+            # decrease lr, so a further probe is the identical computation
+            # — the reference would spin forever here (:415's floor makes
+            # its while-loop non-terminating); accept the floored LR after
+            # its one failed probe instead of burning max_ls_iters solves
+            return (~accept) & (it < max_ls_iters) & (lr_ > lr_min)
 
         def ls_body(state):
             lr_, it = state

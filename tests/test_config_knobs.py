@@ -93,3 +93,24 @@ def test_reuse_ls_forward_bit_identical():
                              verbose=False)
     assert a.j_array == b.j_array
     assert float(jnp.abs(a.f.quad - b.f.quad).max()) == 0.0
+
+
+def test_line_search_floors_at_lr_min_without_respinning():
+    """Unsatisfiable Armijo condition (huge c): the LS must decay LR to
+    LR_MIN, probe the floor ONCE, and accept — not burn max_ls_iters
+    identical re-probes (the reference's while loop would spin forever at
+    the floor, OCP_dolfin.py:415; our early accept is observably identical
+    to the old safety-bound exit, just without ~60 redundant solves)."""
+    rng = np.random.default_rng(3)
+    K = 2
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment=f"{K}_buoys",
+                    T=0.05, dt=0.005)
+    seeds = 0.4 + 1.2 * rng.random((K, 2))
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
+    f = sys_mod.initial_control(prob, case=0)
+    res = sys_mod.gd_step(prob, f, jnp.asarray(5.0), use_line_search=True,
+                          c_armijo=1e12, max_ls_iters=80)
+    assert float(res.lr) == 1e-6                 # floored at LR_MIN
+    # 23 halvings 5.0 -> 1e-6 plus the floor probe; nowhere near 80
+    assert int(res.inner_iterations) == 24
