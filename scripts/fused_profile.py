@@ -6,7 +6,8 @@ isolated adjoint ODE is the f64 gather chain while the fused program uses
 the Pallas eval kernel) — its sum says nothing about where the fused
 1.x s/iteration goes. This script captures a ``jax.profiler`` device trace
 of the actual fused ``system.gd_step`` program (the benchmark
-configuration: K=10⁴, Nx=32, pallas ODE backend, sorted point sources,
+configuration from ``bench._build()`` — currently K=10⁴, Nx=32, pallas
+ODE backend, ozaki point sources, explicit-inverse dense applies,
 LU-reuse Newton, transposed-LU adjoint) and aggregates per-kernel device
 times into named stage buckets, with achieved-FLOP/s and MFU estimates
 for the compute-bound entries.
@@ -69,8 +70,9 @@ SOURCE_BUCKETS = [
     (r"ode/pallas_eval\.py", "pallas_adjoint_eval_kernel"),
     (r"ode/grideval\.py", "grideval_tables"),
     (r"ops/linalg\.py", "lu_triangular_solves_refinement"),
-    (r"adjoint/point_sources\.py|ops/scatter\.py",
-     "point_source_reduction"),
+    (r"adjoint/point_sources\.py|ops/scatter\.py|ops/psum_pallas\.py"
+     r"|adjoint/pallas_psrc\.py", "point_source_reduction"),
+    (r"ops/stencil\.py", "linear_solve_glue"),
     (r"mesh/locate\.py", "point_location"),
     (r"fem/forms\.py", "operator_assembly"),
     (r"ode/", "ode_xla"),
