@@ -107,7 +107,12 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                 j_new = float(j_dev)
                 if j_old - j_new >= lr * cond:
                     break
-                lr = max(tau * lr, lr_min)
+                new_lr = max(tau * lr, lr_min)
+                if new_lr == lr:
+                    # floored at LR_MIN: a re-probe is the identical
+                    # solve (same early-accept as opt/driver.py)
+                    break
+                lr = new_lr
             log(f"{tag} it={i} line search accepted lr={lr:g} "
                 f"({inner + 1} probes)", fh)
         else:
