@@ -31,6 +31,39 @@ from .spaces import TaylorHoodSpace, BoundaryQuad
 from . import forms
 
 
+# Cell-chunked element kernels: above this many cells the vmapped
+# per-cell kernel runs as a lax.map over fixed-size blocks. The all-cells
+# vmap materializes per-quad jacfwd intermediates like
+# (nq, ncell, 12, 15, 2, 2) whose tiny trailing dims the TPU tiles pad
+# 11–14×: at Nx=192 (73728 cells) the Newton-body assembly alone held
+# 15.75 GB of padded HLO temps — the round-3 hires OOM. Chunking bounds
+# the live intermediate to the block; per-cell math (and therefore every
+# assembled value) is bit-identical. Threshold leaves every measured
+# Nx≤96 program untouched.
+CELL_CHUNK = 4096
+CELL_CHUNK_THRESHOLD = 32768
+
+
+def map_cells(fn, *args):
+    """``jax.vmap(fn)(*args)``, blocked over axis 0 when it is large."""
+    n = args[0].shape[0]
+    if n <= CELL_CHUNK_THRESHOLD:
+        return jax.vmap(fn)(*args)
+    npad = (-n) % CELL_CHUNK
+    nblk = (n + npad) // CELL_CHUNK
+
+    def blocks(x):
+        if npad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((npad,) + x.shape[1:], x.dtype)])
+        return x.reshape((nblk, CELL_CHUNK) + x.shape[1:])
+
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs),
+                      tuple(blocks(a) for a in args))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((nblk * CELL_CHUNK,) + o.shape[2:])[:n], out)
+
+
 # ---------------------------------------------------------------------------
 # scatter helpers
 # ---------------------------------------------------------------------------
@@ -116,10 +149,10 @@ def ns_residual(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
     f_quad: (nf, nq, 2) control values at Γ₁ quadrature points, or None.
     """
     wl = w[space.cell_dofs_mixed]
-    cell_r = jax.vmap(
+    cell_r = map_cells(
         lambda wl_, ji, dj: forms.ns_cell_residual(
-            space, wl_, ji, dj, nu, convection)
-    )(wl, space.cell_jinv, space.cell_detj)
+            space, wl_, ji, dj, nu, convection),
+        wl, space.cell_jinv, space.cell_detj)
     r = scatter_vector(space.ndof, space.cell_dofs_mixed, cell_r)
     if bq is not None:
         fdofs = space.cell_dofs_mixed[bq.cells]
@@ -146,10 +179,10 @@ def ns_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
     """Jacobian of the NS residual at w (or the Stokes operator when
     convection=False — then it is w-independent)."""
     wl = w[space.cell_dofs_mixed]
-    cell_jac = jax.vmap(
+    cell_jac = map_cells(
         jax.jacfwd(lambda wl_, ji, dj: forms.ns_cell_residual(
-            space, wl_, ji, dj, nu, convection))
-    )(wl, space.cell_jinv, space.cell_detj)
+            space, wl_, ji, dj, nu, convection)),
+        wl, space.cell_jinv, space.cell_detj)
     facet_mats = facet_dofs = None
     if bq is not None and boundary_stab:
         fdofs = space.cell_dofs_mixed[bq.cells]
@@ -170,10 +203,10 @@ def ns_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
 def adjoint_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
                      w: jnp.ndarray, bc_dofs: jnp.ndarray) -> Operator:
     wl = w[space.cell_dofs_mixed]
-    cell_jac = jax.vmap(
+    cell_jac = map_cells(
         jax.jacfwd(lambda zl, wl_, ji, dj: forms.adjoint_cell_residual(
-            space, zl, wl_, ji, dj))
-    )(wl * 0.0, wl, space.cell_jinv, space.cell_detj)
+            space, zl, wl_, ji, dj)),
+        wl * 0.0, wl, space.cell_jinv, space.cell_detj)
     facet_mats = facet_dofs = None
     if bq is not None:
         fdofs = space.cell_dofs_mixed[bq.cells]
