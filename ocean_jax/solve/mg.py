@@ -363,9 +363,14 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     # HBM past ~10k because XLA's TriangularSolve keeps ~n/256 RHS
     # copies), or the recursive multi-level V-cycle (mg.sub).
     coarse_solve = _coarse_solver(mg, dtype, omega, pre, post)
-    if coarse_solve is not None and nu_scale != 1.0:
+    # nu_scale may be a traced scalar (the staged runner's single
+    # continuation-rung program, system.solve_ns_rung); only skip the
+    # scaling multiply for the static-1.0 fast path
+    static_one = isinstance(nu_scale, float) and nu_scale == 1.0
+    if coarse_solve is not None and not static_one:
         inner_solve = coarse_solve
-        coarse_solve = lambda rc: inner_solve(rc) * (1.0 / nu_scale)
+        coarse_solve = lambda rc: inner_solve(rc) * (
+            1.0 / jnp.asarray(nu_scale, jnp.float32))
     if coarse_solve is None:
         assert op_mixed_c is not None, (
             "a context without ainv_c/sub needs the coarse mixed operator")

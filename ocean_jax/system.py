@@ -339,7 +339,8 @@ def build_problem(cfg: OCPConfig,
     return OCPProblem(
         space=space, bq=bq, bc_dofs=bc_dofs, bc_vals=bc_vals,
         projector=GradProjector.build(
-            space, dense_apply=getattr(cfg, "dense_apply", "lu")),
+            space, dense_apply=getattr(cfg, "dense_apply", "lu"),
+            solver=getattr(cfg, "projector_solver", "auto")),
         u_d=jnp.asarray(u_d), x0=jnp.asarray(x0),
         center=jnp.asarray(center),
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
@@ -419,13 +420,20 @@ def fd_direction(prob: OCPProblem) -> Control:
 # ---------------------------------------------------------------------------
 
 def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
-              matvec_of=None) -> NewtonResult:
+              matvec_of=None, w_start=None) -> NewtonResult:
     """Primal NS Newton solve, from w=0 (``OCP_dolfin.py:314-325``).
 
     linear_solver="mg" swaps the dense-LU Newton steps for the mesh-robust
     FGMRES + multigrid preconditioner (solve/mg.py) — the scaling path past
     ~21k mixed dofs where the TPU dense LU no longer fits. ``matvec_of``
-    (op → matvec) lets multi-chip callers dof-shard the Krylov matvec."""
+    (op → matvec) lets multi-chip callers dof-shard the Krylov matvec.
+
+    ``w_start``: Newton initial guess. When given, the viscosity-
+    continuation ladder is SKIPPED — the caller already has a state in the
+    strong solution's basin (the staged runner's warm-started probes: the
+    ladder is purely a basin-finding device; Newton's exact-f64
+    convergence test fixes the accuracy of the result regardless of the
+    start)."""
     def residual(w):
         return assemble.ns_residual(prob.space, prob.bq, w, f_quad, prob.nu)
 
@@ -445,8 +453,10 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
     # (mg) at the rung viscosity; only the FINAL solve's exact-f64
     # convergence test touches accuracy, so the ladder is a pure
     # robustness device.
-    w_start = jnp.zeros(prob.space.ndof)
-    n_rungs = getattr(prob, "newton_continuation", 0)
+    warm = w_start is not None
+    if not warm:
+        w_start = jnp.zeros(prob.space.ndof)
+    n_rungs = 0 if warm else getattr(prob, "newton_continuation", 0)
 
     if prob.linear_solver == "mg":
         if prob.mg.ainv_c is not None or prob.mg.sub is not None:
@@ -497,10 +507,10 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
                 w_start, prob.bc_dofs, prob.bc_vals)
             w_start = res_k.w
 
-    if n_rungs > 0 and prob.nu < 1.0:
-        # continuation: the Stokes-frozen fac0 belongs to w=0 at the
-        # target ν — at the warm-started strong state its stale-factor
-        # corrections can diverge; factorize J(w_start) instead
+    if (n_rungs > 0 or warm) and prob.nu < 1.0:
+        # continuation/warm start: the Stokes-frozen fac0 belongs to w=0
+        # at the target ν — at the warm-started strong state its
+        # stale-factor corrections can diverge; factorize J(w_start)
         return newton_solve(residual, operator, w_start,
                             prob.bc_dofs, prob.bc_vals)
     return newton_solve(residual, operator, w_start,
@@ -530,10 +540,12 @@ def _primal_ode(prob: OCPProblem, u: jnp.ndarray):
 
 
 def _forward(prob: OCPProblem, f_quad: jnp.ndarray, ode_impl=None,
-             matvec_of=None) -> ForwardState:
+             matvec_of=None, w_start=None) -> ForwardState:
     """NS solve + primal buoy ODE (``OCP_dolfin.py:314-330``). ``ode_impl``
-    overrides the ODE stage (multi-chip: a shard_map of ``_primal_ode``)."""
-    res = _solve_ns(prob, f_quad, matvec_of=matvec_of)
+    overrides the ODE stage (multi-chip: a shard_map of ``_primal_ode``).
+    ``w_start``: warm Newton start — skips the continuation ladder
+    (see ``_solve_ns``)."""
+    res = _solve_ns(prob, f_quad, matvec_of=matvec_of, w_start=w_start)
     u, _ = prob.space.split(res.w)
     ode = (ode_impl or _primal_ode)(prob, u)
     return ForwardState(res.w, ode.x, ode.u_values, ode.mask, res,
@@ -766,6 +778,16 @@ class StagedPrograms(NamedTuple):
     grad: object     # (f, fwd) → (z, g, gradj, div_u, adj_ok)
     probe: object    # (f, g, lr) → (f_new, fwd_new, J_new)
     record: object   # (u_values, f_quad) → J           [J(old u, new f)]
+    # viscosity-continuation support (mg path): the ladder as SHORT
+    # bounded programs — one traced-ν rung program executed n_rungs+1
+    # times from the host — instead of one n_rungs×Newton device burst
+    # (observed to crash the tunneled TPU worker at Nx=64 ν=0.01), and
+    # warm-started begin/probe that skip the ladder entirely (the ladder
+    # is a basin-finding device; a previous accepted state is already in
+    # the basin, and Newton's exact-f64 test fixes accuracy).
+    rung: object = None        # (f_quad, w, nu_k) → w'   [traced ν]
+    begin_warm: object = None  # (f_quad, w) → (fwd, J)
+    probe_warm: object = None  # (f, g, lr, w) → (f_new, fwd_new, J_new)
 
 
 def make_staged_pair(prob: OCPProblem, ode_impl=None,
@@ -805,17 +827,50 @@ def make_staged_pair(prob: OCPProblem, ode_impl=None,
     def _record(p, u_values, f_quad):
         return cost(p, u_values, f_quad)
 
+    def _begin_warm(p, f_quad, w_start):
+        fwd = _forward(p, f_quad, ode_impl=ode_impl, matvec_of=matvec_of,
+                       w_start=w_start)
+        return fwd, cost(p, fwd.u_values, f_quad)
+
+    def _probe_warm(p, f: Control, g: Control, lr, w_start):
+        f_new = f.axpy(-lr, g)
+        fwd_new = _forward(p, f_new.quad, ode_impl=ode_impl,
+                           matvec_of=matvec_of, w_start=w_start)
+        return f_new, fwd_new, cost(p, fwd_new.u_values, f_new.quad)
+
+    def _rung(p, f_quad, w_start, nu_k):
+        # one continuation rung at traced ν (so all rungs share ONE
+        # compiled program); mirrors the ladder body of _solve_ns — only
+        # reachable on frozen-hierarchy mg contexts (coarse fn None)
+        res_k = mg_mod.newton_solve_mg(
+            lambda w: assemble.ns_residual(p.space, p.bq, w, f_quad, nu_k),
+            lambda w: assemble.ns_operator(p.space, p.bq, w, nu_k,
+                                           p.bc_dofs),
+            None, p.mg, p.space, w_start, p.bc_dofs, p.bc_vals,
+            matvec_of=matvec_of, pre=p.mg_pre, post=p.mg_post,
+            nu_scale=nu_k / p.nu)
+        return res_k.w
+
     opts = (LARGE_SOLVE_COMPILER_OPTIONS
             if needs_raised_vmem(prob) else None)
     jit = (jax.jit if opts is None
            else partial(jax.jit, compiler_options=opts))
     begin, grad, probe = jit(_begin), jit(_grad), jit(_probe)
+    begin_warm, probe_warm = jit(_begin_warm), jit(_probe_warm)
     record = jax.jit(_record)
+    rung = None
+    if (prob.linear_solver == "mg"
+            and (prob.mg.ainv_c is not None or prob.mg.sub is not None)):
+        rung_j = jit(_rung)
+        rung = lambda f_quad, w, nu_k: rung_j(prob, f_quad, w, nu_k)
     return StagedPrograms(
         lambda f_quad: begin(prob, f_quad),
         lambda f, fwd: grad(prob, f, fwd),
         lambda f, g, lr: probe(prob, f, g, lr),
-        lambda u_values, f_quad: record(prob, u_values, f_quad))
+        lambda u_values, f_quad: record(prob, u_values, f_quad),
+        rung=rung,
+        begin_warm=lambda f_quad, w: begin_warm(prob, f_quad, w),
+        probe_warm=lambda f, g, lr, w: probe_warm(prob, f, g, lr, w))
 
 
 def make_differentiable_ns_solver(prob: OCPProblem):

@@ -95,15 +95,39 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
     tau = cfg.tau if cfg else 0.5
     lr_min = cfg.LR_MIN if cfg else 1e-8
     c_armijo = cfg.c_armijo if cfg else 1e-4
-    fwd, j_dev = progs.begin(f.quad)
+    n_rungs = cfg.newton_continuation if cfg else 0
+    ladder = (progs.rung is not None and n_rungs > 0 and prob.nu < 1.0)
+    if ladder:
+        # ν-continuation as SHORT bounded programs: one traced-ν rung
+        # program, n_rungs+1 host-driven executions (a single
+        # all-rungs-in-one begin program is a minutes-long device burst
+        # that reproducibly crashes the tunneled TPU worker at Nx=64)
+        ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
+        w = jnp.zeros(prob.space.ndof)
+        for k in range(n_rungs + 1):
+            t0 = time.time()
+            w = progs.rung(f.quad, w, jnp.asarray(ratio ** k))
+            np.asarray(w[:1])          # bound this rung's device burst
+            log(f"{tag}: continuation rung {k} nu={ratio**k:.4g} "
+                f"({time.time()-t0:.1f}s)", fh)
+        fwd, j_dev = progs.begin_warm(f.quad, w)
+    else:
+        fwd, j_dev = progs.begin(f.quad)
     j_old = float(j_dev)
+
+    def probe(f_, g_, lr_):
+        if ladder:
+            # warm start from the accepted state: skips the ladder (the
+            # accepted w is already in the strong solution's basin)
+            return progs.probe_warm(f_, g_, lr_, fwd.w)
+        return progs.probe(f_, g_, lr_)
     for i in range(start, iters):
         t0 = time.time()
         z, g, gradj_dev, div_dev, adj_ok = progs.grad(f, fwd)
         if line_search:
             cond = -c_armijo * float(gradj_dev)
             for inner in range(15):
-                f_c, fwd_c, j_dev = progs.probe(f, g, lr)
+                f_c, fwd_c, j_dev = probe(f, g, lr)
                 j_new = float(j_dev)
                 if j_old - j_new >= lr * cond:
                     break
@@ -116,7 +140,7 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             log(f"{tag} it={i} line search accepted lr={lr:g} "
                 f"({inner + 1} probes)", fh)
         else:
-            f_c, fwd_c, j_dev = progs.probe(f, g, lr)
+            f_c, fwd_c, j_dev = probe(f, g, lr)
             j_new = float(j_dev)
         # the recorded J: OLD u_values, NEW control (OCP_dolfin.py:429)
         j = float(progs.record(fwd.u_values, f_c.quad))
