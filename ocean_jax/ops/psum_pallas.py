@@ -26,8 +26,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# chunks processed per grid step: Mosaic requires the last two dims of
+# every block to be (8, 128)-divisible or full — an ids block of a single
+# (1, chunk) row violates the sublane rule on hardware (it only ever
+# compiled in CPU interpret mode). Grouping 8 chunk rows per step keeps
+# the ids block (8, chunk)-aligned; the in-kernel row slices are static.
+_ROWS = 8
 
 
 def _kernel(ids_ref, pieces_ref, hi_ref, lo_ref, *, s_tile: int,
@@ -40,23 +49,26 @@ def _kernel(ids_ref, pieces_ref, hi_ref, lo_ref, *, s_tile: int,
         lo_ref[:] = jnp.zeros(lo_ref.shape, lo_ref.dtype)
 
     seg0 = pl.program_id(0) * s_tile
-    # onehot[s, m] = (seg0 + s == ids[m]) — rows are segments of this
-    # tile, lanes are the chunk's points
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (s_tile, chunk), 0)
-    onehot = (iota_s + seg0 == ids_ref[0:1, :]).astype(jnp.bfloat16)
-    # EXACT f32 sums: bf16 {0,1} × bf16 8-bit integers, ≤ chunk ≤ 2¹¹
-    # addends of magnitude ≤ 2⁷ per output element (2¹⁸ < 2²⁴)
-    part = jax.lax.dot_general(
-        onehot, pieces_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (s_tile, P)
-    # error-free TwoSum carry (integer-valued addends → `lo` exact)
-    h = hi_ref[:]
-    s = h + part
-    bb = s - h
-    e = (h - (s - bb)) + (part - bb)
-    hi_ref[:] = s
-    lo_ref[:] = lo_ref[:] + e
+    for r in range(_ROWS):
+        # onehot[s, m] = (seg0 + s == ids[r, m]) — rows are segments of
+        # this tile, lanes are chunk r's points
+        onehot = (iota_s + seg0 == ids_ref[r:r + 1, :]).astype(jnp.bfloat16)
+        # EXACT f32 sums: bf16 {0,1} × bf16 8-bit integers, ≤ chunk ≤ 2¹¹
+        # addends of magnitude ≤ 2⁷ per output element (2¹⁸ < 2²⁴)
+        part = jax.lax.dot_general(
+            onehot, pieces_ref[r * chunk:(r + 1) * chunk, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (s_tile, P)
+        # error-free TwoSum carry (integer-valued addends → `lo` exact;
+        # all addends are exact in f32, so the regrouped order is
+        # bit-identical to the one-chunk-per-step original)
+        h = hi_ref[:]
+        s = h + part
+        bb = s - h
+        e = (h - (s - bb)) + (part - bb)
+        hi_ref[:] = s
+        lo_ref[:] = lo_ref[:] + e
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "chunk",
@@ -82,30 +94,35 @@ def ozaki_segment_sum_pallas(seg_ids: jnp.ndarray, values: jnp.ndarray,
         r = r - c / g
     p = jnp.stack(pieces, axis=1).reshape(m, slices * d)   # (M, P)
 
-    m_pad = ((m + chunk - 1) // chunk) * chunk
+    group = _ROWS * chunk
+    m_pad = ((m + group - 1) // group) * group
     ids = jnp.concatenate(
         [seg_ids.astype(jnp.int32),
          jnp.full(m_pad - m, num_segments, jnp.int32)]).reshape(-1, chunk)
     p = jnp.concatenate(
         [p, jnp.zeros((m_pad - m, slices * d), jnp.bfloat16)])
-    n_chunks = m_pad // chunk
+    n_groups = m_pad // group
     s_pad = ((num_segments + 1 + s_tile - 1) // s_tile) * s_tile
     n_stiles = s_pad // s_tile
     pp = slices * d
 
+    # np.int32 literals in the index maps: a bare python 0 traces to an
+    # i64 constant under x64, which Mosaic cannot legalize (same idiom as
+    # ode/pallas_ode.py:337)
+    zero = np.int32(0)
     hi, lo = pl.pallas_call(
         functools.partial(_kernel, s_tile=s_tile, chunk=chunk),
-        grid=(n_stiles, n_chunks),
+        grid=(n_stiles, n_groups),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda i, j: (j, 0),
+            pl.BlockSpec((_ROWS, chunk), lambda i, j: (j, zero),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, pp), lambda i, j: (j, 0),
+            pl.BlockSpec((_ROWS * chunk, pp), lambda i, j: (j, zero),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((s_tile, pp), lambda i, j: (i, 0),
+            pl.BlockSpec((s_tile, pp), lambda i, j: (i, zero),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_tile, pp), lambda i, j: (i, 0),
+            pl.BlockSpec((s_tile, pp), lambda i, j: (i, zero),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
