@@ -54,6 +54,10 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
     p.add_argument("--dense-apply", default=None,
                    choices=["lu", "inverse"],
                    help="f32 preconditioner application on the dense path")
+    p.add_argument("--projector-solver", default=defaults.projector_solver,
+                   choices=["auto", "dense", "cg"],
+                   help="∇u-projection mass solves: factorized dense or "
+                        "matrix-free CG (auto switches at 20k P1 dofs)")
     p.add_argument("--mg-pre", type=int, default=defaults.mg_pre,
                    help="V-cycle pre-smoothing sweeps (mg path)")
     p.add_argument("--mg-post", type=int, default=defaults.mg_post)
@@ -97,6 +101,7 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         dense_apply=(args.dense_apply if args.dense_apply is not None
                      else ("inverse" if args.fast
                            else defaults.dense_apply)),
+        projector_solver=args.projector_solver,
         mg_pre=args.mg_pre,
         mg_post=args.mg_post,
         newton_continuation=args.newton_continuation,

@@ -81,6 +81,7 @@ class OCPConfig:
     mg_pre: int = 2                   # V-cycle pre-smoothing Jacobi sweeps (per level)
     mg_post: int = 2                  # V-cycle post-smoothing Jacobi sweeps (per level)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
+    projector_solver: str = "auto"    # auto|dense|cg — ∇u L2-projection mass solves: factorized-once dense (below 20k P1 dofs) or matrix-free lumped-Jacobi CG (mesh-independent iteration count; the only option at Nx≥192 where the dense P1 mass no longer fits HBM)
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki|ozaki_pallas (exact bf16-MXU slicing; _pallas keeps the one-hot in VMEM)|fused (whole stage — location+basis+reduction — as one Pallas kernel, adjoint/pallas_psrc.py; uniform no-hole grids, reference escape semantics)
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)
     adjoint_reuse_lu: str = "auto"    # auto|on|off — solve the adjoint through the TRANSPOSED Newton LU factors (no second factorization per GD iteration; auto = on iff ν==1, where the adjoint operator is exactly the transposed Jacobian, and the dense path is active)
