@@ -37,6 +37,26 @@ def test_cg_projector_matches_dense():
         jnp.abs(gd).max() + 1.0)
 
 
+def test_cg_mass_solve_converges_at_nx64():
+    """Direct check of the CG regime's mesh-independence claim: at Nx=64
+    (4225 P1 dofs — 5x the parity test's mesh), the fixed 60-iteration
+    lumped-Jacobi CG still hits f64 roundoff vs a dense solve."""
+    import numpy as np_
+    from ocean_jax.mesh import rectangle_mesh
+    from ocean_jax.fem import make_space, assemble
+    from ocean_jax.solve import projection as pj
+
+    space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 64, 64))
+    rng = np_.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal(space.n_p1))
+    minv = pj._lumped_inverse(space)
+    x_cg = pj._pcg(space, minv, b, pj.CG_ITERS)
+    mass = np_.asarray(assemble.p1_mass_matrix(space))
+    x_ref = jnp.asarray(np_.linalg.solve(mass, np_.asarray(b)))
+    rel = float(jnp.abs(x_cg - x_ref).max() / jnp.abs(x_ref).max())
+    assert rel < 1e-12
+
+
 def test_auto_uses_dense_below_cap():
     prob = _problem(nx=8)
     pj = GradProjector.build(prob.space, solver="auto")
