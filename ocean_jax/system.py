@@ -873,6 +873,133 @@ def make_staged_pair(prob: OCPProblem, ode_impl=None,
         probe_warm=lambda f, g, lr, w: probe_warm(prob, f, g, lr, w))
 
 
+class NewtonStager(NamedTuple):
+    """Host-driven mg Newton: every field is ONE bounded device program.
+
+    The tunneled TPU worker reliably survives short programs (the 5-8 s
+    continuation rungs, the Nx<=96 staged stages) but crashes on
+    minutes-long single programs (observed three times on hires
+    begin/probe programs whose in-program Newton while_loop runs many
+    FGMRES-heavy steps). Splitting the Newton loop at step granularity
+    bounds every device burst to one assemble + FGMRES + damping pass;
+    the host drives the convergence test (the reference's loop structure,
+    ``OCP_dolfin.py:314-325``, just across the wire)."""
+    init: object     # (f_quad, w0, nu) → (op0, r, rnorm)
+    step: object     # (f_quad, w, r, rnorm, op0, nu, nu_scale, tol)
+    #                  → (w', r', rnorm')
+    finish: object   # (f_quad, w, it, rnorm, conv) → (fwd, J)
+    axpy: object     # (f, g, lr) → f_new
+
+
+def make_newton_stager(prob: OCPProblem, ode_impl=None,
+                       matvec_of=None, restart: int = 60,
+                       max_restarts: int = 4,
+                       step_tol: float = 1e-6) -> NewtonStager:
+    """Build the stepped-Newton programs (mg path; same math as
+    ``solve/mg.py::newton_solve_mg`` — frozen-at-w0 preconditioner,
+    residual-monotone damping with full step preferred, polish step with
+    tightened Krylov tolerance). ν and nu_scale are TRACED so one step
+    program serves every continuation rung and the target solve."""
+    assert prob.linear_solver == "mg"
+
+    def _bc_residual(p, f_quad, w, nu):
+        r = assemble.ns_residual(p.space, p.bq, w, f_quad, nu)
+        return r.at[p.bc_dofs].set(w[p.bc_dofs] - p.bc_vals)
+
+    def _init(p, f_quad, w0, nu):
+        op0 = assemble.ns_operator(p.space, p.bq, w0, nu, p.bc_dofs)
+        r0 = _bc_residual(p, f_quad, w0, nu)
+        return op0, r0, jnp.linalg.norm(r0)
+
+    def _step(p, f_quad, w, r, rnorm, op0, nu, nu_scale, tol):
+        M32 = mg_mod.make_block_preconditioner(
+            p.mg, p.space, op0, None, dtype=jnp.float32,
+            pre=p.mg_pre, post=p.mg_post, nu_scale=nu_scale)
+        op = assemble.ns_operator(p.space, p.bq, w, nu, p.bc_dofs)
+        if matvec_of is None:
+            mv32 = mg_mod._stencil_or_scatter(p.mg.st_mixed, op,
+                                              jnp.float32)
+        else:
+            mv32 = matvec_of(op)
+        from .solve import krylov
+        sol = krylov.fgmres(mv32, (-r).astype(jnp.float32), M=M32,
+                            restart=restart, max_restarts=max_restarts,
+                            tol=tol)
+        dw = sol.x.astype(jnp.float64)
+        # residual-monotone damping, full step preferred (mg.py:make_body)
+        w_c = w + dw
+        r_c = _bc_residual(p, f_quad, w_c, nu)
+        n_c = jnp.linalg.norm(r_c)
+        accept = n_c < rnorm
+        for theta in (0.5, 0.25, 0.125):
+            cand = w + theta * dw
+            rc2 = _bc_residual(p, f_quad, cand, nu)
+            nc2 = jnp.linalg.norm(rc2)
+            take = (~accept) & (nc2 < rnorm)
+            w_c = jnp.where(take, cand, w_c)
+            r_c = jnp.where(take, rc2, r_c)
+            n_c = jnp.where(take, nc2, n_c)
+            accept = accept | take
+        return w_c, r_c, n_c
+
+    def _finish(p, f_quad, w, it, rnorm, conv):
+        newton = NewtonResult(w, it, rnorm, conv)
+        u, _ = p.space.split(w)
+        ode = (ode_impl or _primal_ode)(p, u)
+        fwd = ForwardState(w, ode.x, ode.u_values, ode.mask, newton,
+                           ode.x_raw, ode.kfail)
+        return fwd, cost(p, fwd.u_values, f_quad)
+
+    def _axpy(p, f: Control, g: Control, lr):
+        del p
+        return f.axpy(-lr, g)
+
+    opts = (LARGE_SOLVE_COMPILER_OPTIONS
+            if needs_raised_vmem(prob) else None)
+    jit = (jax.jit if opts is None
+           else partial(jax.jit, compiler_options=opts))
+    init, step, finish = jit(_init), jit(_step), jit(_finish)
+    axpy = jax.jit(_axpy)
+    return NewtonStager(
+        lambda f_quad, w0, nu: init(prob, f_quad, w0, nu),
+        lambda f_quad, w, r, rnorm, op0, nu, nu_scale, tol: step(
+            prob, f_quad, w, r, rnorm, op0, nu, nu_scale, tol),
+        lambda f_quad, w, it, rnorm, conv: finish(
+            prob, f_quad, w, it, rnorm, conv),
+        lambda f, g, lr: axpy(prob, f, g, lr))
+
+
+def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
+                      nu_scale: float = 1.0, rtol: float = 1e-9,
+                      atol: float = 1e-10, max_iter: int = 50,
+                      polish: int = 1, step_tol: float = 1e-6,
+                      sync=None):
+    """Drive the stepped Newton from the host — the ``newton_solve_mg``
+    loop with one device program per step. Returns (w, it, rnorm,
+    converged). ``sync``: optional callable forcing a host transfer after
+    each step (bounds the async dispatch queue through the tunnel)."""
+    nu_t = jnp.asarray(float(nu))
+    sc_t = jnp.asarray(float(nu_scale))
+    op0, r, rn_dev = stager.init(f_quad, w0, nu_t)
+    r0norm = rn = float(rn_dev)
+    w, it = w0, 0
+    while rn > atol and rn > rtol * r0norm and it < max_iter:
+        w, r, rn_dev = stager.step(f_quad, w, r, jnp.asarray(rn), op0,
+                                   nu_t, sc_t, jnp.asarray(step_tol))
+        rn = float(rn_dev)
+        it += 1
+        if sync is not None:
+            sync(w)
+    converged = (rn <= atol) or (rn <= rtol * r0norm)
+    tight = min(step_tol, 1e-8)
+    for _ in range(polish):
+        w, r, rn_dev = stager.step(f_quad, w, r, jnp.asarray(rn), op0,
+                                   nu_t, sc_t, jnp.asarray(tight))
+        rn = float(rn_dev)
+        it += 1
+    return w, it, rn, converged
+
+
 def make_differentiable_ns_solver(prob: OCPProblem):
     """Return f_quad → w with a custom VJP (implicit function theorem):
     J(w*)ᵀ λ = w̄, then f̄ = Lᵀ λ with L the Γ₁ load operator."""

@@ -96,31 +96,50 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
     lr_min = cfg.LR_MIN if cfg else 1e-8
     c_armijo = cfg.c_armijo if cfg else 1e-4
     n_rungs = cfg.newton_continuation if cfg else 0
-    ladder = (progs.rung is not None and n_rungs > 0 and prob.nu < 1.0)
-    if ladder:
-        # ν-continuation as SHORT bounded programs: one traced-ν rung
-        # program, n_rungs+1 host-driven executions (a single
-        # all-rungs-in-one begin program is a minutes-long device burst
-        # that reproducibly crashes the tunneled TPU worker at Nx=64)
-        ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
-        w = jnp.zeros(prob.space.ndof)
-        for k in range(n_rungs + 1):
-            t0 = time.time()
-            w = progs.rung(f.quad, w, jnp.asarray(ratio ** k))
-            np.asarray(w[:1])          # bound this rung's device burst
-            log(f"{tag}: continuation rung {k} nu={ratio**k:.4g} "
-                f"({time.time()-t0:.1f}s)", fh)
-        fwd, j_dev = progs.begin_warm(f.quad, w)
+    ladder = (n_rungs > 0 and prob.nu < 1.0)
+    stepped = prob.linear_solver == "mg"
+    if stepped:
+        # host-driven Newton: every device program is ONE Newton step.
+        # The tunneled worker crashes on minutes-long single programs
+        # (three observed hires begin/probe crashes); rung/begin/probe
+        # forwards all go through bounded step programs.
+        stager = sys_mod.make_newton_stager(prob)
+
+        def sync(x):
+            np.asarray(x[:1])
+
+        def forward(f_, w_warm=None):
+            w = jnp.zeros(prob.space.ndof) if w_warm is None else w_warm
+            if ladder and w_warm is None:
+                ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
+                for k in range(n_rungs + 1):
+                    t0 = time.time()
+                    w, rit, _, _ = sys_mod.run_newton_staged(
+                        stager, f_.quad, w, ratio ** k,
+                        nu_scale=ratio ** k / prob.nu, sync=sync)
+                    log(f"{tag}: rung {k} nu={ratio**k:.4g} "
+                        f"newton={rit} ({time.time()-t0:.1f}s)", fh)
+            w, nit, rn, conv = sys_mod.run_newton_staged(
+                stager, f_.quad, w, prob.nu, sync=sync)
+            return stager.finish(f_.quad, w, jnp.asarray(nit),
+                                 jnp.asarray(rn), jnp.asarray(conv))
+
+        fwd, j_dev = forward(f)
+
+        def probe(f_, g_, lr_):
+            f_new = stager.axpy(f_, g_, jnp.asarray(lr_))
+            # warm start from the accepted state on ladder configs (the
+            # accepted w is already in the strong solution's basin);
+            # cold reference-exact start otherwise
+            fwd_new, j_new_dev = forward(
+                f_new, w_warm=(fwd.w if ladder else None))
+            return f_new, fwd_new, j_new_dev
     else:
         fwd, j_dev = progs.begin(f.quad)
-    j_old = float(j_dev)
 
-    def probe(f_, g_, lr_):
-        if ladder:
-            # warm start from the accepted state: skips the ladder (the
-            # accepted w is already in the strong solution's basin)
-            return progs.probe_warm(f_, g_, lr_, fwd.w)
-        return progs.probe(f_, g_, lr_)
+        def probe(f_, g_, lr_):
+            return progs.probe(f_, g_, lr_)
+    j_old = float(j_dev)
     for i in range(start, iters):
         t0 = time.time()
         z, g, gradj_dev, div_dev, adj_ok = progs.grad(f, fwd)

@@ -68,3 +68,46 @@ def test_warm_probe_matches_cold_probe():
     assert bool(fwd_b.newton.converged)
     assert float(jnp.abs(f_a.quad - f_b.quad).max()) == 0.0
     assert abs(float(j_a) - float(j_b)) < 1e-9 * (abs(float(j_a)) + 1.0)
+
+
+def test_stepped_newton_matches_inprogram():
+    """Host-driven one-step-per-program Newton (make_newton_stager) ==
+    the in-program newton_solve_mg: same frozen preconditioner, same
+    damping, same convergence/polish schedule."""
+    cfg, prob = _mg_problem(nu=1.0, n_rungs=0)
+    f = sys_mod.initial_control(prob, case=4)
+    ref = sys_mod.solve_ns(prob, f.quad)
+    stager = sys_mod.make_newton_stager(prob)
+    w, it, rn, conv = sys_mod.run_newton_staged(
+        stager, f.quad, jnp.zeros(prob.space.ndof), prob.nu)
+    assert conv
+    scale = float(jnp.abs(ref.w).max())
+    assert scale > 0.0
+    assert float(jnp.abs(w - ref.w).max()) < 1e-9 * scale
+    assert it == int(ref.iterations)
+
+    fwd, j = stager.finish(f.quad, w, jnp.asarray(it), jnp.asarray(rn),
+                           jnp.asarray(conv))
+    fwd_ref = sys_mod.forward(prob, f.quad)
+    jref = sys_mod.cost(prob, fwd_ref.u_values, f.quad)
+    assert abs(float(j) - float(jref)) < 1e-10 * (abs(float(jref)) + 1.0)
+
+
+def test_stepped_newton_ladder_nu005():
+    """Stepped ladder at nu=0.05 lands on the in-program continuation
+    solution."""
+    cfg, prob = _mg_problem()
+    f = sys_mod.initial_control(prob, case=4)
+    ref = sys_mod.solve_ns(prob, f.quad)
+    stager = sys_mod.make_newton_stager(prob)
+    n = cfg.newton_continuation
+    ratio = (prob.nu / 1.0) ** (1.0 / (n + 1))
+    w = jnp.zeros(prob.space.ndof)
+    for k in range(n + 1):
+        w, _, _, _ = sys_mod.run_newton_staged(
+            stager, f.quad, w, ratio ** k,
+            nu_scale=ratio ** k / prob.nu)
+    w, it, rn, conv = sys_mod.run_newton_staged(stager, f.quad, w, prob.nu)
+    assert conv
+    scale = float(jnp.abs(ref.w).max())
+    assert float(jnp.abs(w - ref.w).max()) < 1e-8 * scale
