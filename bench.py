@@ -51,10 +51,11 @@ K_BASELINES = {"100_buoys": 11.98, "400_buoys": 77.82,
 def _build(k_experiment=K_EXPERIMENT):
     """The benchmark problem with the TPU fast paths on (all tested equal
     to the reference-exact paths): one LU per Newton solve + corrected
-    steps; exact bf16-MXU Ozaki point-source reduction + explicit-inverse
-    dense applies — the winning psrc_micro cell on hardware (0.671 s vs
-    1.332 s for sorted+lu at K=10⁴, results/bench_stages/psrc_micro.json;
-    J parity ≤1e-12 across all cells)."""
+    steps; the fused Pallas point-source kernel + explicit-inverse dense
+    applies — the winning psrc_micro cell on hardware (0.370 s vs 0.671
+    ozaki / 1.332 sorted+lu at K=10⁴,
+    results/bench_stages/psrc_micro.json; J parity ≤1e-14 rel and control
+    parity ≤4e-12 across all cells)."""
     import dataclasses
     import jax.numpy as jnp
     from ocean_jax.config import OCPConfig
@@ -63,6 +64,11 @@ def _build(k_experiment=K_EXPERIMENT):
 
     cfg = OCPConfig(ud_experiment=k_experiment, unit_square_resolution=32,
                     use_line_search=False, num_steps=1,
+                    # fused Pallas point-source kernel (location + basis +
+                    # reduction in one VMEM pass): 0.370 s vs 0.671 ozaki /
+                    # 1.332 sorted+lu per K=10⁴ iteration, control parity
+                    # ≤4e-12 (psrc_micro.json)
+                    psrc_method="fused",
                     # fused Pallas kernels (primal ODE + adjoint ∇u eval),
                     # verified on hardware: trajectories 7e-15 vs the f64
                     # gather backend; gradient/f_new 4e-9 relative (the
@@ -74,8 +80,7 @@ def _build(k_experiment=K_EXPERIMENT):
                          "data", "ud")
     u_d, x0 = ensure_ud(cfg, cache_dir=cache)
     prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
-    prob = dataclasses.replace(prob, newton_reuse_lu=True,
-                               psrc_method="ozaki")
+    prob = dataclasses.replace(prob, newton_reuse_lu=True)
     f = sys_mod.initial_control(prob, case=4)
     return cfg, prob, f, jnp.asarray(cfg.LR)
 

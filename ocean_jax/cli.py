@@ -45,8 +45,9 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
     p.add_argument("--checkpoints", action="store_true",
                    default=defaults.checkpoints)
     p.add_argument("--fast", action="store_true",
-                   help="enable TPU fast paths (LU reuse, ozaki psrc, "
-                        "explicit-inverse dense applies)")
+                   help="enable TPU fast paths (LU reuse, fused Pallas "
+                        "point-source kernel, explicit-inverse dense "
+                        "applies)")
     p.add_argument("--psrc-method", default=None,
                    choices=["scatter", "sorted", "binned", "ozaki",
                             "ozaki_pallas", "fused"],
@@ -94,10 +95,13 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         checkpoints=args.checkpoints,
         newton_reuse_lu=args.fast,
         # --fast bundle: the hardware-winning psrc_micro cell
-        # (results/bench_stages/psrc_micro.json: ozaki+inverse 0.671 s vs
-        # sorted+lu 1.332 s per K=10⁴ GD iteration, J parity ≤1e-12)
+        # (results/bench_stages/psrc_micro.json: fused+inverse 0.370 s vs
+        # ozaki+inverse 0.671 / sorted+lu 1.332 s per K=10⁴ GD iteration,
+        # control parity ≤4e-12 across cells). The fused kernel covers
+        # uniform square/L-shape domains — every CLI config; hole/graded
+        # domains (gen-1 pipe API only) gate to the XLA reductions.
         psrc_method=(args.psrc_method if args.psrc_method is not None
-                     else ("ozaki" if args.fast else "scatter")),
+                     else ("fused" if args.fast else "scatter")),
         dense_apply=(args.dense_apply if args.dense_apply is not None
                      else ("inverse" if args.fast
                            else defaults.dense_apply)),

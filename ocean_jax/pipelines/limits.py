@@ -59,7 +59,8 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True,
     ``fast_paths=True`` (default) turns on the TPU fast paths — LU-reuse
     Newton, the exact bf16-MXU Ozaki point-source reduction, and
     explicit-inverse dense applies (the winning psrc_micro cell on
-    hardware: 0.671 s vs 1.332 s sorted+lu per K=10⁴ GD iteration,
+    hardware: 0.370 s (fused) vs 0.671 ozaki / 1.332 s sorted+lu per
+    K=10⁴ GD iteration,
     results/bench_stages/psrc_micro.json) — all tested equal to the
     reference-exact paths; the GD driver detects a diverged stale-LU
     solve and re-solves with fresh factorizations (opt/driver.py), so the
@@ -70,7 +71,7 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True,
         cfg = dataclasses.replace(
             cfg,
             newton_reuse_lu=True,
-            psrc_method=("ozaki" if cfg.psrc_method == "scatter"
+            psrc_method=("fused" if cfg.psrc_method == "scatter"
                          else cfg.psrc_method),
             dense_apply=("inverse" if cfg.dense_apply == "lu"
                          else cfg.dense_apply))

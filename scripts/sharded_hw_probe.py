@@ -36,12 +36,15 @@ def main():
     mesh = make_buoy_mesh(jax.devices()[:1])
     step = make_sharded_step(prob, mesh, use_line_search=False)
 
-    # reference: the fused single-device step at the same config
-    def fused_once(f_ctrl, lr_):
-        res = sys_mod.gd_step(prob, f_ctrl, lr_, use_line_search=False)
+    # reference: the fused single-device step at the same config.
+    # prob as a jit ARGUMENT (a closed-over problem pytree becomes HLO
+    # constants and trips the remote-compile helper's request-size cap)
+    def fused_once(p, f_ctrl, lr_):
+        res = sys_mod.gd_step(p, f_ctrl, lr_, use_line_search=False)
         return res.f_new, res.J, res.diverged
 
-    fused = jax.jit(fused_once)
+    fused_j = jax.jit(fused_once)
+    fused = lambda f_ctrl, lr_: fused_j(prob, f_ctrl, lr_)
 
     def time_n(fn, n=5):
         ts = []

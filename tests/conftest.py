@@ -23,3 +23,17 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() == 8
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_history():
+    """XLA:CPU segfaults in backend_compile after a long in-process
+    compile history (flaky, history-dependent — observed at different
+    tests as the suite grew; test_mg.py carries the same workaround
+    locally). Clearing the jit caches at module boundaries bounds the
+    history each module's compiles build on."""
+    jax.clear_caches()
+    yield
