@@ -59,9 +59,20 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
                    choices=["auto", "dense", "cg"],
                    help="∇u-projection mass solves: factorized dense or "
                         "matrix-free CG (auto switches at 20k P1 dofs)")
+    p.add_argument("--linear-solver", default=defaults.linear_solver,
+                   choices=["auto", "dense", "mg"],
+                   help="saddle-point linear solver: dense fp32-LU+"
+                        "refinement, mg = FGMRES + geometric multigrid "
+                        "(auto switches past the dense-LU dof cap)")
     p.add_argument("--mg-pre", type=int, default=defaults.mg_pre,
                    help="V-cycle pre-smoothing sweeps (mg path)")
     p.add_argument("--mg-post", type=int, default=defaults.mg_post)
+    p.add_argument("--mg-coarse-krylov", type=int,
+                   default=defaults.mg_coarse_krylov,
+                   help="convection-aware coarse correction: inner "
+                        "FGMRES(k) on the state-assembled coarse operator "
+                        "preconditioned by the frozen Stokes coarse solve "
+                        "(needed at ν≲0.05 on the mg path; 0 = off)")
     p.add_argument("--newton-continuation", type=int,
                    default=defaults.newton_continuation,
                    help="viscosity-continuation rungs for the forward "
@@ -106,7 +117,9 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
                      else ("inverse" if args.fast
                            else defaults.dense_apply)),
         projector_solver=args.projector_solver,
+        linear_solver=args.linear_solver,
         mg_pre=args.mg_pre,
         mg_post=args.mg_post,
+        mg_coarse_krylov=args.mg_coarse_krylov,
         newton_continuation=args.newton_continuation,
     )

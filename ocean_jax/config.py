@@ -80,6 +80,7 @@ class OCPConfig:
     newton_continuation: int = 0      # viscosity-continuation rungs for the forward Newton solve (0 = reference-exact vanilla Newton from w=0, which diverges below ν≈0.02). Keep per-rung ν-drops ≤2×: n ≥ log2(1/ν) − 1, e.g. 6 rungs for the ν=0.01 golden-run regime
     mg_pre: int = 2                   # V-cycle pre-smoothing Jacobi sweeps (per level)
     mg_post: int = 2                  # V-cycle post-smoothing Jacobi sweeps (per level)
+    mg_coarse_krylov: int = 0         # >0: convection-aware coarse correction — the frozen Stokes coarse solve preconditions an FGMRES(k) on the coarse operator assembled at the linearization state (solve/mg.py). Needed at ν≲0.05 with linear_solver=mg (the Stokes coarse V-cycle stalls warm Newton at Nx≥64); 0 = off (ν=1 paths bit-identical)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     projector_solver: str = "auto"    # auto|dense|cg — ∇u L2-projection mass solves: factorized-once dense (below 20k P1 dofs) or matrix-free lumped-Jacobi CG (mesh-independent iteration count; the only option at Nx≥192 where the dense P1 mass no longer fits HBM)
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki|ozaki_pallas (exact bf16-MXU slicing; _pallas keeps the one-hot in VMEM)|fused (whole stage — location+basis+reduction — as one Pallas kernel, adjoint/pallas_psrc.py; uniform no-hole grids, reference escape semantics)

@@ -320,7 +320,8 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
                               op_mixed_c: Optional[Operator] = None,
                               omega: float = 0.6, pre: int = 2,
                               post: int = 2, dtype=jnp.float64,
-                              nu_scale: float = 1.0
+                              nu_scale: float = 1.0,
+                              coarse_krylov: int = 0
                               ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build M ≈ P⁻¹ from a (possibly frozen) fine mixed operator and the
     context's coarse hierarchy.
@@ -342,7 +343,20 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
     assembly of the same form) is only needed by legacy contexts carrying
     neither ``ainv_c`` nor ``sub``: there the coarse velocity block is
     inverted in-program (+1 Newton–Schulz step — the raw f32 inverse left
-    the ill-conditioned L-shape Newton stalled at 1.3e-8)."""
+    the ill-conditioned L-shape Newton stalled at 1.3e-8).
+
+    ``coarse_krylov`` > 0 (the convection-dominated re-freeze, VERDICT r2
+    item 9): the frozen Stokes coarse solve is demoted to the
+    PRECONDITIONER of a short inner FGMRES on ``op_mixed_c``'s velocity
+    block — the coarse operator assembled at the caller's linearization
+    state. At ν=0.01 the coarse Stokes correction misses the dominant
+    convection entirely (measured: warm-started Newton at Nx=64 stalls at
+    residual 3.6e-2 within 50 iterations); ~a dozen Stokes-preconditioned
+    Krylov iterations on the actual coarse Oseen block restore a
+    convection-aware coarse correction at a few extra coarse matvecs +
+    leaf applications per V-cycle. 0 = off (the ν=1 default paths are
+    bit-identical). Requires ``op_mixed_c`` when nonzero; applies only to
+    frozen-hierarchy contexts (``ainv_c``/``sub``)."""
     n_vel = 2 * space_f.n_p2
     vel_f = velocity_block(op_mixed, n_vel)
     dinv = _jacobi_dinv(vel_f, omega, dtype)
@@ -371,6 +385,21 @@ def make_block_preconditioner(mg: MGContext, space_f: TaylorHoodSpace,
         inner_solve = coarse_solve
         coarse_solve = lambda rc: inner_solve(rc) * (
             1.0 / jnp.asarray(nu_scale, jnp.float32))
+    if coarse_solve is not None and coarse_krylov > 0:
+        assert op_mixed_c is not None, (
+            "coarse_krylov needs the state-assembled coarse operator")
+        vel_c = velocity_block(op_mixed_c, 2 * mg.space_c.n_p2)
+        mv_c = _stencil_or_scatter(
+            mg.sub.st_vel if mg.sub is not None else None, vel_c,
+            jnp.float32)
+        stokes_solve = coarse_solve
+
+        def coarse_solve(rc):
+            sol = krylov.fgmres(
+                mv_c, rc.astype(jnp.float32),
+                M=lambda v: stokes_solve(v).astype(jnp.float32),
+                restart=coarse_krylov, max_restarts=1, tol=1e-3)
+            return sol.x.astype(dtype)
     if coarse_solve is None:
         assert op_mixed_c is not None, (
             "a context without ainv_c/sub needs the coarse mixed operator")
@@ -416,7 +445,8 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
                       restart: int = 60, max_restarts: int = 4,
                       inner_tol: float = 1e-6, max_rounds: int = 4,
                       matvec_of: Callable = None,
-                      pre: int = 2, post: int = 2) -> MGSolveResult:
+                      pre: int = 2, post: int = 2,
+                      coarse_krylov: int = 0) -> MGSolveResult:
     """Mesh-robust replacement for the dense ``solve_operator`` (adjoint NS
     solve, ``OCP_dolfin.py:371``): mixed-precision FGMRES + two-grid block
     preconditioner.
@@ -436,7 +466,8 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
     dof-sharded operator application (parallel/dof_sharding.py)."""
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
     M32 = make_block_preconditioner(mg, space_f, op, op_c,
-                                    dtype=jnp.float32, pre=pre, post=post)
+                                    dtype=jnp.float32, pre=pre, post=post,
+                                    coarse_krylov=coarse_krylov)
     if matvec_of is not None:
         mv64 = matvec_of(op)
         mv32 = op_matvec(op, jnp.float32)
@@ -481,7 +512,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     polish: int = 1,
                     matvec_of: Callable = None,
                     pre: int = 2, post: int = 2,
-                    nu_scale: float = 1.0) -> NewtonResult:
+                    nu_scale: float = 1.0,
+                    coarse_krylov: int = 0) -> NewtonResult:
     """BC-aware Newton with FGMRES linear steps (same convergence criteria
     as ``newton_solve``; drop-in past the dense-LU resolution cap).
 
@@ -510,7 +542,8 @@ def newton_solve_mg(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
              else None)
     M32 = make_block_preconditioner(mg, space_f, op0, op0_c,
                                     dtype=jnp.float32, pre=pre, post=post,
-                                    nu_scale=nu_scale)
+                                    nu_scale=nu_scale,
+                                    coarse_krylov=coarse_krylov)
 
     r0 = bc_residual(w0)
     r0norm = jnp.linalg.norm(r0)

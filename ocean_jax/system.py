@@ -73,6 +73,12 @@ class OCPProblem:
     linear_solver: str = "dense"     # "dense" | "mg"
     mg_pre: int = 2                  # V-cycle pre-smoothing sweeps
     mg_post: int = 2                 # V-cycle post-smoothing sweeps
+    # >0: convection-aware coarse correction — the frozen Stokes coarse
+    # solve preconditions an inner FGMRES(k) on the coarse operator
+    # assembled at the linearization state (solve/mg.py; needed at the
+    # ν=0.01 golden viscosity for Nx≥64 where the Stokes coarse V-cycle
+    # stalls warm-started Newton at ~3.6e-2)
+    mg_coarse_krylov: int = 0
     newton_continuation: int = 0     # ν-ladder rungs (0 = vanilla Newton)
     # "reference" drops escaped buoys from the adjoint (OCP_dolfin.py:
     # 237-238,354-355); "consistent" keeps their pre-escape contributions
@@ -106,19 +112,22 @@ class OCPProblem:
                 (self.nu, self.alpha, self.h, self.nt, self.refine_iters,
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
                  self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu,
-                 self.mg_pre, self.mg_post, self.newton_continuation))
+                 self.mg_pre, self.mg_post, self.newton_continuation,
+                 self.mg_coarse_krylov))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         *head, mg, grid, buoy_weights, fac0 = children
         (*scalars, linear_solver, adjoint_mode, ode_backend,
-         adjoint_reuse_lu, mg_pre, mg_post, newton_continuation) = aux
+         adjoint_reuse_lu, mg_pre, mg_post, newton_continuation,
+         mg_coarse_krylov) = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
                    adjoint_mode=adjoint_mode, ode_backend=ode_backend,
                    grid=grid, adjoint_reuse_lu=adjoint_reuse_lu,
                    buoy_weights=buoy_weights, fac0=fac0,
                    mg_pre=mg_pre, mg_post=mg_post,
-                   newton_continuation=newton_continuation)
+                   newton_continuation=newton_continuation,
+                   mg_coarse_krylov=mg_coarse_krylov)
 
     @property
     def K(self) -> int:
@@ -319,6 +328,13 @@ def build_problem(cfg: OCPConfig,
             lambda w: build(assemble.ns_operator(
                 space, bq, w, cfg.viscosity, bc_dofs).dense()))(
                     jnp.zeros(space.ndof))
+        if hasattr(fac0, "with_transpose"):
+            # the adjoint solve applies these factors TRANSPOSED every
+            # refinement sweep (solve/linear.py::solve_operator_reuse_t);
+            # b @ ainv reduces over the major axis of the row-major
+            # inverse — an order-of-magnitude-slower strided pass — so
+            # materialize A⁻ᵀ once per problem (+n² f32)
+            fac0 = fac0.with_transpose()
 
     nt = cfg.num_time_steps
     if u_d is None or x0 is None:
@@ -350,6 +366,7 @@ def build_problem(cfg: OCPConfig,
         mg=mg_ctx, linear_solver=linear_solver,
         mg_pre=getattr(cfg, "mg_pre", 2),
         mg_post=getattr(cfg, "mg_post", 2),
+        mg_coarse_krylov=getattr(cfg, "mg_coarse_krylov", 0),
         newton_continuation=getattr(cfg, "newton_continuation", 0),
         adjoint_mode=getattr(cfg, "adjoint_mode", "reference"),
         ode_backend=ode_backend,
@@ -459,11 +476,16 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
     n_rungs = 0 if warm else getattr(prob, "newton_continuation", 0)
 
     if prob.linear_solver == "mg":
-        if prob.mg.ainv_c is not None or prob.mg.sub is not None:
+        ck = getattr(prob, "mg_coarse_krylov", 0)
+        if ((prob.mg.ainv_c is not None or prob.mg.sub is not None)
+                and ck == 0):
             # the coarse hierarchy is frozen/precomputed: no per-solve
             # coarse assembly (it was built and then ignored before)
             coarse_operator = None
         else:
+            # legacy in-program coarse inverse, OR mg_coarse_krylov > 0:
+            # the state-assembled coarse operator feeding the
+            # convection-aware inner Krylov (solve/mg.py)
             def coarse_operator(w):
                 w_c = mg_mod.inject_state(prob.mg, prob.space, w)
                 return assemble.ns_operator(prob.mg.space_c, prob.mg.bq_c,
@@ -487,13 +509,14 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
                     prob.mg, prob.space, w_start, prob.bc_dofs,
                     prob.bc_vals, matvec_of=matvec_of,
                     pre=prob.mg_pre, post=prob.mg_post,
-                    nu_scale=nu_k / prob.nu)
+                    nu_scale=nu_k / prob.nu, coarse_krylov=ck)
                 w_start = res_k.w
 
         return mg_mod.newton_solve_mg(
             residual, operator, coarse_operator, prob.mg, prob.space,
             w_start, prob.bc_dofs, prob.bc_vals,
-            matvec_of=matvec_of, pre=prob.mg_pre, post=prob.mg_post)
+            matvec_of=matvec_of, pre=prob.mg_pre, post=prob.mg_post,
+            coarse_krylov=ck)
 
     if n_rungs > 0 and prob.nu < 1.0:
         ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
@@ -632,12 +655,15 @@ def adjoint_rhs(prob: OCPProblem, fwd: ForwardState,
 
 def adjoint_operators(prob: OCPProblem, w: jnp.ndarray):
     """(fine adjoint operator, coarse adjoint operator or None). The
-    coarse assembly only exists for legacy contexts without a precomputed
-    coarse hierarchy — build_problem's contexts never need it."""
+    coarse assembly exists for legacy contexts without a precomputed
+    coarse hierarchy, and for ``mg_coarse_krylov > 0`` where the
+    state-assembled coarse adjoint operator feeds the convection-aware
+    inner Krylov of the coarse correction (solve/mg.py)."""
     op = assemble.adjoint_operator(prob.space, prob.bq, w, prob.bc_dofs)
     op_c = None
-    if (prob.linear_solver == "mg" and prob.mg.ainv_c is None
-            and prob.mg.sub is None):
+    if prob.linear_solver == "mg" and (
+            (prob.mg.ainv_c is None and prob.mg.sub is None)
+            or getattr(prob, "mg_coarse_krylov", 0) > 0):
         w_c = mg_mod.inject_state(prob.mg, prob.space, w)
         op_c = assemble.adjoint_operator(prob.mg.space_c, prob.mg.bq_c,
                                          w_c, prob.mg.bc_dofs_c)
@@ -654,9 +680,10 @@ def _solve_adjoint_flagged(prob: OCPProblem, fwd: ForwardState,
     b = adjoint_rhs(prob, fwd, adjoint_rhs_impl=adjoint_rhs_impl)
     op, op_c = adjoint_operators(prob, fwd.w)
     if prob.linear_solver == "mg":
-        sol = mg_mod.solve_operator_mg(op, op_c, prob.mg, prob.space, b,
-                                       prob.bc_vals, matvec_of=matvec_of,
-                                       pre=prob.mg_pre, post=prob.mg_post)
+        sol = mg_mod.solve_operator_mg(
+            op, op_c, prob.mg, prob.space, b, prob.bc_vals,
+            matvec_of=matvec_of, pre=prob.mg_pre, post=prob.mg_post,
+            coarse_krylov=getattr(prob, "mg_coarse_krylov", 0))
         return sol.x, sol.converged
     if prob.adjoint_reuse_lu and fwd.newton.fac is not None:
         # one factorization per GD iteration: the Newton solve's float32
@@ -841,14 +868,22 @@ def make_staged_pair(prob: OCPProblem, ode_impl=None,
     def _rung(p, f_quad, w_start, nu_k):
         # one continuation rung at traced ν (so all rungs share ONE
         # compiled program); mirrors the ladder body of _solve_ns — only
-        # reachable on frozen-hierarchy mg contexts (coarse fn None)
+        # reachable on frozen-hierarchy mg contexts (coarse fn None
+        # unless the convection-aware coarse Krylov is on)
+        ck = getattr(p, "mg_coarse_krylov", 0)
+        coarse_fn = None
+        if ck > 0:
+            def coarse_fn(w):
+                w_c = mg_mod.inject_state(p.mg, p.space, w)
+                return assemble.ns_operator(p.mg.space_c, p.mg.bq_c, w_c,
+                                            nu_k, p.mg.bc_dofs_c)
         res_k = mg_mod.newton_solve_mg(
             lambda w: assemble.ns_residual(p.space, p.bq, w, f_quad, nu_k),
             lambda w: assemble.ns_operator(p.space, p.bq, w, nu_k,
                                            p.bc_dofs),
-            None, p.mg, p.space, w_start, p.bc_dofs, p.bc_vals,
+            coarse_fn, p.mg, p.space, w_start, p.bc_dofs, p.bc_vals,
             matvec_of=matvec_of, pre=p.mg_pre, post=p.mg_post,
-            nu_scale=nu_k / p.nu)
+            nu_scale=nu_k / p.nu, coarse_krylov=ck)
         return res_k.w
 
     opts = (LARGE_SOLVE_COMPILER_OPTIONS
@@ -884,9 +919,11 @@ class NewtonStager(NamedTuple):
     bounds every device burst to one assemble + FGMRES + damping pass;
     the host drives the convergence test (the reference's loop structure,
     ``OCP_dolfin.py:314-325``, just across the wire)."""
-    init: object     # (f_quad, w0, nu) → (op0, r, rnorm)
-    step: object     # (f_quad, w, r, rnorm, op0, nu, nu_scale, tol)
-    #                  → (w', r', rnorm')
+    init: object     # (f_quad, w0, nu) → (op0, op0_c, r, rnorm)
+    #                  op0_c: coarse operator at w0 (mg_coarse_krylov>0)
+    #                  or None
+    step: object     # (f_quad, w, r, rnorm, op0, op0_c, nu, nu_scale,
+    #                  tol) → (w', r', rnorm')
     finish: object   # (f_quad, w, it, rnorm, conv) → (fwd, J)
     axpy: object     # (f, g, lr) → f_new
 
@@ -908,13 +945,19 @@ def make_newton_stager(prob: OCPProblem, ode_impl=None,
 
     def _init(p, f_quad, w0, nu):
         op0 = assemble.ns_operator(p.space, p.bq, w0, nu, p.bc_dofs)
+        op0_c = None
+        if getattr(p, "mg_coarse_krylov", 0) > 0:
+            w_c = mg_mod.inject_state(p.mg, p.space, w0)
+            op0_c = assemble.ns_operator(p.mg.space_c, p.mg.bq_c, w_c,
+                                         nu, p.mg.bc_dofs_c)
         r0 = _bc_residual(p, f_quad, w0, nu)
-        return op0, r0, jnp.linalg.norm(r0)
+        return op0, op0_c, r0, jnp.linalg.norm(r0)
 
-    def _step(p, f_quad, w, r, rnorm, op0, nu, nu_scale, tol):
+    def _step(p, f_quad, w, r, rnorm, op0, op0_c, nu, nu_scale, tol):
         M32 = mg_mod.make_block_preconditioner(
-            p.mg, p.space, op0, None, dtype=jnp.float32,
-            pre=p.mg_pre, post=p.mg_post, nu_scale=nu_scale)
+            p.mg, p.space, op0, op0_c, dtype=jnp.float32,
+            pre=p.mg_pre, post=p.mg_post, nu_scale=nu_scale,
+            coarse_krylov=getattr(p, "mg_coarse_krylov", 0))
         op = assemble.ns_operator(p.space, p.bq, w, nu, p.bc_dofs)
         if matvec_of is None:
             mv32 = mg_mod._stencil_or_scatter(p.mg.st_mixed, op,
@@ -962,8 +1005,8 @@ def make_newton_stager(prob: OCPProblem, ode_impl=None,
     axpy = jax.jit(_axpy)
     return NewtonStager(
         lambda f_quad, w0, nu: init(prob, f_quad, w0, nu),
-        lambda f_quad, w, r, rnorm, op0, nu, nu_scale, tol: step(
-            prob, f_quad, w, r, rnorm, op0, nu, nu_scale, tol),
+        lambda f_quad, w, r, rnorm, op0, op0_c, nu, nu_scale, tol: step(
+            prob, f_quad, w, r, rnorm, op0, op0_c, nu, nu_scale, tol),
         lambda f_quad, w, it, rnorm, conv: finish(
             prob, f_quad, w, it, rnorm, conv),
         lambda f, g, lr: axpy(prob, f, g, lr))
@@ -980,12 +1023,13 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
     each step (bounds the async dispatch queue through the tunnel)."""
     nu_t = jnp.asarray(float(nu))
     sc_t = jnp.asarray(float(nu_scale))
-    op0, r, rn_dev = stager.init(f_quad, w0, nu_t)
+    op0, op0_c, r, rn_dev = stager.init(f_quad, w0, nu_t)
     r0norm = rn = float(rn_dev)
     w, it = w0, 0
     while rn > atol and rn > rtol * r0norm and it < max_iter:
         w, r, rn_dev = stager.step(f_quad, w, r, jnp.asarray(rn), op0,
-                                   nu_t, sc_t, jnp.asarray(step_tol))
+                                   op0_c, nu_t, sc_t,
+                                   jnp.asarray(step_tol))
         rn = float(rn_dev)
         it += 1
         if sync is not None:
@@ -994,10 +1038,122 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
     tight = min(step_tol, 1e-8)
     for _ in range(polish):
         w, r, rn_dev = stager.step(f_quad, w, r, jnp.asarray(rn), op0,
-                                   nu_t, sc_t, jnp.asarray(tight))
+                                   op0_c, nu_t, sc_t, jnp.asarray(tight))
         rn = float(rn_dev)
         it += 1
     return w, it, rn, converged
+
+
+class AdjointStager(NamedTuple):
+    """Host-driven mg adjoint solve: ``solve_operator_mg``'s refinement
+    loop split at ROUND granularity — one bounded device program per
+    fp64-refinement round (each ≈ one stepped-Newton program: one FGMRES
+    restart schedule + two exact matvecs). At Nx=256 the single fused
+    grad program (RHS + all rounds) is a minutes-long device burst that
+    crashed the tunneled TPU worker (the same failure mode the stepped
+    Newton bounds for the forward solve); every Newton-step-sized
+    program around it survived."""
+    rhs: object      # (f, fwd) → (b, op, op_c, div_u, bnorm)
+    round: object    # (op, op_c, b, x) → (x', rnorm)
+    finish: object   # (f, z) → (g, gradj)
+
+
+def make_adjoint_stager(prob: OCPProblem, adjoint_rhs_impl=None,
+                        matvec_of=None, tol: float = 1e-11,
+                        restart: int = 60, max_restarts: int = 4,
+                        inner_tol: float = 1e-6) -> AdjointStager:
+    """Build the staged adjoint programs (mg path; same math — and the
+    same operation order, hence bit-identical results — as
+    ``solve_operator_mg`` + ``reduced_gradient``)."""
+    assert prob.linear_solver == "mg"
+
+    def _rhs(p, f: Control, fwd: ForwardState):
+        b = adjoint_rhs(p, fwd, adjoint_rhs_impl=adjoint_rhs_impl)
+        op, op_c = adjoint_operators(p, fwd.w)
+        b = assemble.apply_bc_vector(b, op.bc_dofs, p.bc_vals)
+        u, _ = p.space.split(fwd.w)
+        return (b, op, op_c, assemble.divergence_l2(p.space, u),
+                jnp.linalg.norm(b))
+
+    def _round(p, op, op_c, b, x):
+        M32 = mg_mod.make_block_preconditioner(
+            p.mg, p.space, op, op_c, dtype=jnp.float32,
+            pre=p.mg_pre, post=p.mg_post,
+            coarse_krylov=getattr(p, "mg_coarse_krylov", 0))
+        if matvec_of is not None:
+            mv64 = matvec_of(op)
+            mv32 = mg_mod.op_matvec(op, jnp.float32)
+        else:
+            mv64 = (op.matvec64 if p.mg.st_mixed is None
+                    else mg_mod._stencil_or_scatter(p.mg.st_mixed, op,
+                                                    jnp.float64))
+            mv32 = mg_mod._stencil_or_scatter(p.mg.st_mixed, op,
+                                              jnp.float32)
+        from .solve import krylov
+        r = b - mv64(x)
+        sol = krylov.fgmres(mv32, r.astype(jnp.float32), M=M32,
+                            restart=restart, max_restarts=max_restarts,
+                            tol=inner_tol)
+        x = x + sol.x.astype(jnp.float64)
+        return x, jnp.linalg.norm(b - mv64(x))
+
+    def _finish(p, f: Control, z):
+        g = reduced_gradient(p, f, z)
+        gradj = ctrl_mod.boundary_inner(p.bq, g, Control(-g.quad, -g.p2))
+        return g, gradj
+
+    opts = (LARGE_SOLVE_COMPILER_OPTIONS
+            if needs_raised_vmem(prob) else None)
+    jit = (jax.jit if opts is None
+           else partial(jax.jit, compiler_options=opts))
+    rhs, rnd, fin = jit(_rhs), jit(_round), jit(_finish)
+    return AdjointStager(
+        lambda f, fwd: rhs(prob, f, fwd),
+        lambda op, op_c, b, x: rnd(prob, op, op_c, b, x),
+        lambda f, z: fin(prob, f, z))
+
+
+def run_adjoint_staged(stager: AdjointStager, f: Control,
+                       fwd: ForwardState, tol: float = 1e-11,
+                       max_rounds: int = 4, sync=None, on_round=None,
+                       accept_rel: float = 1e-9):
+    """Drive the staged adjoint solve from the host. Returns
+    (z, g, gradj, div_u, converged) — the ``StagedPrograms.grad``
+    quintuple, at one bounded device program per refinement round.
+    ``max_rounds`` beyond the in-program default of 4 is nearly free
+    here (each extra round is one more bounded program, not a bigger
+    while_loop) — deep-hierarchy problems (Nx=256, 4 levels) contract
+    ~1e-2.5/round and need ~5. ``on_round(round, rnorm)``: per-round
+    observer for convergence logging.
+
+    ``accept_rel``: the fp64-refinement floor κ(A)·ε grows with
+    resolution — at Nx=256 (592k dofs) the relative residual plateaus
+    near 3e-11 while ``tol`` asks 1e-11, so a healthy solve can stall
+    just above target. A round that fails to contract by 3× ends the
+    loop (more rounds cannot help at the floor) and the solve counts as
+    converged iff the plateau is at or below ``accept_rel`` — far below
+    anything the gradient needs, while a genuine preconditioner-quality
+    stall (e.g. the ν=0.01 Stokes-coarse stall at 3.6e-2) still reports
+    non-convergence."""
+    b, op, op_c, div_u, bnorm_dev = stager.rhs(f, fwd)
+    bnorm = float(bnorm_dev)
+    target = tol * max(bnorm, 1e-300)
+    x = jnp.zeros_like(b)
+    rn, rounds, prev = bnorm, 0, None
+    while rn > target and rounds < max_rounds:
+        x, rn_dev = stager.round(op, op_c, b, x)
+        rn = float(rn_dev)
+        rounds += 1
+        if on_round is not None:
+            on_round(rounds, rn / max(bnorm, 1e-300))
+        if sync is not None:
+            sync(x)
+        if prev is not None and rn > prev / 3.0:
+            break                      # at the refinement floor
+        prev = rn
+    g, gradj = stager.finish(f, x)
+    ok = rn <= max(target, accept_rel * max(bnorm, 1e-300))
+    return x, g, gradj, div_u, ok
 
 
 def make_differentiable_ns_solver(prob: OCPProblem):

@@ -58,7 +58,7 @@ def run_gd(prob, f, lr, iters, fh, tag, line_search=False):
 
 
 def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
-                  line_search=False, cfg=None):
+                  line_search=False, cfg=None, adj_max_rounds=4):
     """Stage-separated GD iteration (forward / adjoint / update as three
     XLA programs). The fused Nx=64 gd_step reproducibly crashes the
     remote-compile worker (known large-HLO failure mode); the staged path
@@ -104,6 +104,7 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
         # (three observed hires begin/probe crashes); rung/begin/probe
         # forwards all go through bounded step programs.
         stager = sys_mod.make_newton_stager(prob)
+        adj_stager = sys_mod.make_adjoint_stager(prob)
 
         def sync(x):
             np.asarray(x[:1])
@@ -133,6 +134,15 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             # cold reference-exact start otherwise
             fwd_new, j_new_dev = forward(
                 f_new, w_warm=(fwd.w if ladder else None))
+            if ladder and not bool(fwd_new.newton.converged):
+                # warm Newton can stall at strong convection (ν=0.01
+                # Nx=64: residual pinned at 3.6e-2 after a control
+                # perturbation) — retry through the full continuation
+                # ladder, which re-finds the new control's basin
+                log(f"{tag}: warm probe stalled (rn="
+                    f"{float(fwd_new.newton.residual_norm):.3e}); "
+                    "cold-ladder retry", fh)
+                fwd_new, j_new_dev = forward(f_new)
             return f_new, fwd_new, j_new_dev
     else:
         fwd, j_dev = progs.begin(f.quad)
@@ -142,7 +152,23 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
     j_old = float(j_dev)
     for i in range(start, iters):
         t0 = time.time()
-        z, g, gradj_dev, div_dev, adj_ok = progs.grad(f, fwd)
+        if stepped:
+            # one bounded device program per fp64-refinement round (the
+            # single fused grad program at Nx=256 — RHS + all rounds —
+            # crashed the tunneled TPU worker; Newton-step-sized
+            # programs survive)
+            z, g, gradj_dev, div_dev, adj_ok = sys_mod.run_adjoint_staged(
+                adj_stager, f, fwd, sync=sync,
+                max_rounds=adj_max_rounds,
+                on_round=lambda rd, rel: log(
+                    f"{tag} it={i} adjoint round {rd}: rel res "
+                    f"{rel:.3e}", fh))
+        else:
+            z, g, gradj_dev, div_dev, adj_ok = progs.grad(f, fwd)
+        assert bool(adj_ok), (
+            f"{tag}: adjoint FGMRES not converged at iteration {i} — "
+            "preconditioner-quality loss would silently corrupt the "
+            "gradient (try --mg-coarse-krylov at low viscosity)")
         if line_search:
             cond = -c_armijo * float(gradj_dev)
             for inner in range(15):
@@ -206,6 +232,16 @@ def main():
                     help="V-cycle pre-smoothing sweeps (A/B: 1 halves "
                          "smoothing cost per application)")
     ap.add_argument("--mg-post", type=int, default=2)
+    ap.add_argument("--adj-max-rounds", type=int, default=4,
+                    help="fp64 refinement rounds for the staged adjoint "
+                         "solve (each is one bounded device program; "
+                         "deep hierarchies contract ~1e-3/round and "
+                         "need ~6 at Nx=256)")
+    ap.add_argument("--mg-coarse-krylov", type=int, default=0,
+                    help="convection-aware coarse correction (inner "
+                         "FGMRES(k) on the state-assembled coarse "
+                         "operator); needed at ν=0.01 where the frozen "
+                         "Stokes coarse V-cycle stalls warm Newton")
     ap.add_argument("--newton-continuation", type=int, default=0,
                     help="viscosity-continuation rungs (vanilla Newton "
                          "from w=0 diverges below ν≈0.02; 4 rungs reach "
@@ -309,6 +345,7 @@ def main():
                         use_line_search=False, num_steps=args.iters,
                         linear_solver="mg", viscosity=args.viscosity,
                         mg_pre=args.mg_pre, mg_post=args.mg_post,
+                        mg_coarse_krylov=args.mg_coarse_krylov,
                         newton_continuation=args.newton_continuation)
         t0 = time.time()
         prob = sys_mod.build_problem(cfg)
@@ -324,7 +361,8 @@ def main():
             js, times, nit = run_gd_staged(
                 prob, f, args.lr, args.iters, fh, tag,
                 state_path=os.path.join(OUT, f"state_{tag}.npz"),
-                line_search=args.line_search, cfg=cfg)
+                line_search=args.line_search, cfg=cfg,
+                adj_max_rounds=args.adj_max_rounds)
         else:
             js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
                                     args.iters, fh, tag,
@@ -338,6 +376,7 @@ def main():
             "mg_levels": depth + 1,
             "viscosity": args.viscosity,
             "mg_pre": args.mg_pre, "mg_post": args.mg_post,
+            "mg_coarse_krylov": args.mg_coarse_krylov,
             "newton_continuation": args.newton_continuation,
             "lr": args.lr, "line_search": args.line_search,
             "J": js, "descended": bool(js[-1] < js[0]),

@@ -20,7 +20,9 @@ def test_cli_roundtrip():
     assert not cfg.use_line_search
     assert cfg.LR == 2.5
     assert cfg.grad_check
-    assert cfg.newton_reuse_lu and cfg.psrc_method == "ozaki"
+    # --fast bundle = the measured hardware winners (psrc_micro.json:
+    # fused+inverse is the fastest K=1e4 cell)
+    assert cfg.newton_reuse_lu and cfg.psrc_method == "fused"
     assert cfg.dense_apply == "inverse"
     assert cfg.alpha_scaled == 400 * 1e-6
 

@@ -212,3 +212,20 @@ def test_auto_solver_selection():
     big = _problem(56, "auto", K=2)
     assert big.linear_solver == "mg" and big.mg is not None
     assert big.mg.space_c.ndof < big.space.ndof
+
+
+def test_mg_coarse_krylov_parity(pair16):
+    """``mg_coarse_krylov`` (convection-aware coarse correction,
+    solve/mg.py) is a preconditioner-only change: the full GD iteration
+    still matches the dense path at the standard 1e-9 bar — the inner
+    coarse FGMRES trades Krylov work, never solution accuracy."""
+    pd, pm = pair16
+    pk = dataclasses.replace(pm, mg_coarse_krylov=8)
+    f = sys_mod.initial_control(pd, case=0)
+    lr = jnp.asarray(5.0)
+    a = sys_mod.gd_step(pd, f, lr, use_line_search=True, max_ls_iters=10)
+    b = sys_mod.gd_step(pk, f, lr, use_line_search=True, max_ls_iters=10)
+    assert not bool(b.diverged)
+    assert float(a.lr) == float(b.lr)
+    assert abs(float(a.J) - float(b.J)) <= 1e-9 * abs(float(a.J))
+    assert float(jnp.max(jnp.abs(a.f_new.quad - b.f_new.quad))) < 1e-10
