@@ -68,9 +68,23 @@ def map_cells(fn, *args):
 # scatter helpers
 # ---------------------------------------------------------------------------
 
-def scatter_vector(n: int, dofs: jnp.ndarray, vals: jnp.ndarray
-                   ) -> jnp.ndarray:
-    """Σ-scatter local element vectors into a global vector."""
+def scatter_vector(n: int, dofs: jnp.ndarray, vals: jnp.ndarray,
+                   inc: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Σ-reduce local element vectors into a global vector.
+
+    With ``inc`` (the transpose incidence of ``dofs``,
+    ``fem.spaces._mixed_incidence``) the reduction is a GATHER + row-sum
+    — a TPU scatter-add of 30k element contributions costs ~2 ms while
+    the gather form is bandwidth-trivial. ``vals`` must then be laid out
+    so that its flattened index is ``dofs``'s flattened index (true for
+    (nc, k) element blocks). Summation order differs from the scatter
+    form by reassociation only (XLA's scatter order is itself
+    unspecified); callers relying on exact dof-level reproducibility
+    pin one form."""
+    if inc is not None:
+        flat = jnp.concatenate(
+            [vals.reshape(-1), jnp.zeros((1,), vals.dtype)])
+        return flat[inc].sum(axis=0)
     return jnp.zeros(n, vals.dtype).at[dofs].add(vals)
 
 
@@ -97,14 +111,17 @@ class Operator:
     facet_dofs: Optional[jnp.ndarray]  # (nf, 15)
     bc_dofs: jnp.ndarray              # (m,)
     n: int
+    # transpose incidence of cell_dofs (spaces.TaylorHoodSpace.inc_mixed):
+    # when present, matvec64 reduces by gather instead of scatter-add
+    inc: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.cell_mats, self.cell_dofs, self.facet_mats,
-                 self.facet_dofs, self.bc_dofs), (self.n,))
+                 self.facet_dofs, self.bc_dofs, self.inc), (self.n,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0])
+        return cls(*children[:5], aux[0], children[5])
 
     def dense(self, dtype=jnp.float32) -> jnp.ndarray:
         a = scatter_matrix_dense(self.n, self.cell_dofs, self.cell_dofs,
@@ -119,10 +136,11 @@ class Operator:
         return a
 
     def matvec64(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Exact float64 A@x via element-level gather/einsum/scatter."""
+        """Exact float64 A@x via element-level gather/einsum/reduce."""
         y = scatter_vector(
             self.n, self.cell_dofs,
-            jnp.einsum("cab,cb->ca", self.cell_mats, x[self.cell_dofs]))
+            jnp.einsum("cab,cb->ca", self.cell_mats, x[self.cell_dofs]),
+            inc=self.inc)
         if self.facet_mats is not None:
             y = y.at[self.facet_dofs].add(
                 jnp.einsum("fab,fb->fa", self.facet_mats, x[self.facet_dofs]))
@@ -153,7 +171,8 @@ def ns_residual(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
         lambda wl_, ji, dj: forms.ns_cell_residual(
             space, wl_, ji, dj, nu, convection),
         wl, space.cell_jinv, space.cell_detj)
-    r = scatter_vector(space.ndof, space.cell_dofs_mixed, cell_r)
+    r = scatter_vector(space.ndof, space.cell_dofs_mixed, cell_r,
+                       inc=space.inc_mixed)
     if bq is not None:
         fdofs = space.cell_dofs_mixed[bq.cells]
         wf = w[fdofs]
@@ -193,7 +212,7 @@ def ns_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
         )(wf, bq.phi2, bq.normals, bq.weights)
         facet_dofs = fdofs
     return Operator(cell_jac, space.cell_dofs_mixed, facet_mats, facet_dofs,
-                    bc_dofs, space.ndof)
+                    bc_dofs, space.ndof, inc=space.inc_mixed)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +236,7 @@ def adjoint_operator(space: TaylorHoodSpace, bq: Optional[BoundaryQuad],
         )(wf * 0.0, wf, bq.phi2, bq.normals, bq.weights)
         facet_dofs = fdofs
     return Operator(cell_jac, space.cell_dofs_mixed, facet_mats, facet_dofs,
-                    bc_dofs, space.ndof)
+                    bc_dofs, space.ndof, inc=space.inc_mixed)
 
 
 # ---------------------------------------------------------------------------
@@ -321,4 +340,5 @@ def volume_tracking_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
                         space.phi2)
         return jnp.concatenate([rv.reshape(12), jnp.zeros(3, rv.dtype)])
     vals = jax.vmap(per_cell)(ul, space.cell_detj)
-    return scatter_vector(space.ndof, space.cell_dofs_mixed, vals)
+    return scatter_vector(space.ndof, space.cell_dofs_mixed, vals,
+                          inc=space.inc_mixed)

@@ -93,11 +93,19 @@ class TaylorHoodSpace:
 
     locator: Locator
 
+    # transpose incidence of cell_dofs_mixed: (max_inc, ndof) int32
+    # indices into the flattened (nc·15,) element-contribution array
+    # (sentinel nc·15 → a zero pad slot). Assembly reductions become
+    # GATHER + row-sum instead of scatter-add — a TPU scatter of the
+    # 30720 element contributions costs ~2 ms while the equivalent
+    # gather is microseconds (fused-profile trace, Nx=32).
+    inc_mixed: Optional[jnp.ndarray] = None
+
     def tree_flatten(self):
         children = (self.cell_dofs_p2, self.cell_dofs_p1, self.cell_dofs_mixed,
                     self.cell_jinv, self.cell_detj, self.qw, self.phi1,
                     self.phi2, self.dphi2_ref, self.dphi1_ref,
-                    self.dof_coords_p2, self.locator)
+                    self.dof_coords_p2, self.locator, self.inc_mixed)
         return children, (self.n_p2, self.n_p1)
 
     @classmethod
@@ -130,6 +138,25 @@ def _mixed_cell_dofs(cell_dofs_p2: np.ndarray, cells: np.ndarray,
     vel[:, 1::2] = 2 * cell_dofs_p2 + 1
     pres = 2 * n_p2 + cells
     return np.concatenate([vel, pres], axis=1)
+
+
+def _mixed_incidence(cell_dofs_mixed: np.ndarray, ndof: int) -> np.ndarray:
+    """Transpose incidence of the mixed dofmap (host-side, one-time).
+
+    Returns (max_inc, ndof) int32: row j of column d is the j-th index
+    into the FLATTENED (nc·15,) element-contribution array that
+    accumulates into global dof d; unused rows hold the sentinel nc·15
+    (callers append one zero slot). max_inc is 6 on the structured
+    triangulations (vertex dofs touch ≤6 cells, edge dofs 2)."""
+    flat = np.asarray(cell_dofs_mixed).reshape(-1).astype(np.int64)
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=ndof)
+    starts = np.zeros(ndof + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(flat.size, dtype=np.int64) - starts[flat[order]]
+    inc = np.full((int(counts.max()), ndof), flat.size, dtype=np.int32)
+    inc[pos, flat[order]] = order
+    return inc
 
 
 def make_space(mesh: Mesh2D) -> TaylorHoodSpace:
@@ -169,6 +196,8 @@ def make_space(mesh: Mesh2D) -> TaylorHoodSpace:
         dphi1_ref=jnp.asarray(ref.P1_GRAD),
         dof_coords_p2=jnp.asarray(dof_coords),
         locator=Locator.from_mesh(mesh),
+        inc_mixed=jnp.asarray(
+            _mixed_incidence(cell_dofs_mixed, 2 * n_p2 + nv)),
     )
 
 

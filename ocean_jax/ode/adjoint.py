@@ -127,39 +127,61 @@ def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
         g_all, inside = eval_p1_tensor_pallas(grid, g_img, x)
     else:
         g_all, inside = eval_p1_tensor(space, grad_u, x)  # (K, nt, 2, 2)
-    # next valid time index ≥ t (reverse cummin); nt when none valid
+    # next valid time index ≥ t (reverse cummin); nt when none valid.
+    # associative_scan, NOT lax.cummin: XLA lowers cummin to a
+    # reduce-window with a window the size of the padded lane dim —
+    # 12.6 ms/iteration on (10⁴, 200) u32 in the fused-profile trace —
+    # while the log-depth scan is a handful of elementwise mins.
     idx = jnp.where(inside, jnp.arange(nt)[None, :], nt)
-    next_valid = jnp.flip(jax.lax.cummin(jnp.flip(idx, axis=1), axis=1),
-                          axis=1)                          # (K, nt)
+    next_valid = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(idx, axis=1),
+                                 axis=1),
+        axis=1)                                            # (K, nt)
     has_valid = next_valid < nt
-    g_used = jnp.take_along_axis(
-        g_all, jnp.minimum(next_valid, nt - 1)[:, :, None, None], axis=1)
-    g_used = jnp.where(has_valid[:, :, None, None], g_used, 0.0)
+    gather_idx = jnp.minimum(next_valid, nt - 1)
 
-    # elements for steps k = nt-2 .. 0, using time index t = k+1.
-    # The 2×2 affine maps are kept as SIX separate (nt-1, K) arrays so the
-    # big K axis rides the TPU lane dimension — a (…, 2, 2)-shaped scan
-    # would pad each tiny trailing tile to (8, 128), a 64× memory blowup
-    # (observed OOM at K=10⁴).
-    gt = jnp.swapaxes(g_used[:, 1:], -1, -2)               # (K, nt-1, 2, 2) ∇uᵀ
-    r = u_values[:, 1:] - u_d[:, 1:]                       # (K, nt-1, 2)
-    if valid is not None:
-        # consistent mode: steps outside a buoy's valid window become the
-        # identity affine map (A=I, b=0), so μ is zero past the window and
-        # exact inside it
-        gt = jnp.where(valid[:, 1:, None, None], gt, 0.0)
-        r = jnp.where(valid[:, 1:, None], r, 0.0)
-    a_mat = jnp.eye(2) + h * gt
-    b_vec = -h * jnp.einsum("ktij,ktj->kti", gt, r)
+    # All work below stays on (K, nt)-shaped COMPONENT PLANES: gathering /
+    # where-ing / composing (…, 2, 2)-shaped arrays pads the tiny trailing
+    # dims to full TPU tiles (the take_along_axis on (K, nt, 2, 2) alone
+    # cost 2×19.4 ms/iteration in the fused-profile trace; the component
+    # split runs the same gathers lane-parallel over the big axes). Same
+    # reasoning as the six-plane scan elements below (a (…, 2, 2) scan
+    # OOMed at K=10⁴).
+    def used(i, j):                                        # (K, nt)
+        plane = jnp.take_along_axis(g_all[..., i, j], gather_idx, axis=1)
+        return jnp.where(has_valid, plane, 0.0)
 
-    def comp(arr, i, j=None):
-        # (K, nt-1, ...) → reversed-time (nt-1, K)
-        sel = arr[:, :, i] if j is None else arr[:, :, i, j]
-        return jnp.flip(sel, axis=1).swapaxes(0, 1)
+    # elements for steps k = nt-2 .. 0, using time index t = k+1;
+    # gt_ij = (∇u)ᵀ_ij = g_ji, zeroed outside the valid window
+    # (consistent mode: steps outside become the identity map A=I, b=0,
+    # so μ is zero past the window and exact inside it)
+    vmask = None if valid is None else valid[:, 1:]
 
-    elems = (comp(a_mat, 0, 0), comp(a_mat, 0, 1),
-             comp(a_mat, 1, 0), comp(a_mat, 1, 1),
-             comp(b_vec, 0), comp(b_vec, 1))
+    def gt_comp(i, j):                                     # (K, nt-1)
+        c = used(j, i)[:, 1:]
+        return c if vmask is None else jnp.where(vmask, c, 0.0)
+
+    gt00, gt01 = gt_comp(0, 0), gt_comp(0, 1)
+    gt10, gt11 = gt_comp(1, 0), gt_comp(1, 1)
+    r1 = u_values[:, 1:, 0] - u_d[:, 1:, 0]                # (K, nt-1)
+    r2 = u_values[:, 1:, 1] - u_d[:, 1:, 1]
+    if vmask is not None:
+        r1 = jnp.where(vmask, r1, 0.0)
+        r2 = jnp.where(vmask, r2, 0.0)
+    # A = I + h ∇uᵀ ; b = −h ∇uᵀ (u − u_d), expanded per component with
+    # the same contraction order as the einsum it replaces
+    a11, a12 = 1.0 + h * gt00, h * gt01
+    a21, a22 = h * gt10, 1.0 + h * gt11
+    b1 = -h * (gt00 * r1 + gt01 * r2)
+    b2 = -h * (gt10 * r1 + gt11 * r2)
+
+    def comp(arr):
+        # (K, nt-1) → reversed-time (nt-1, K): the big K axis rides the
+        # TPU lane dimension through the scan
+        return jnp.flip(arr, axis=1).swapaxes(0, 1)
+
+    elems = (comp(a11), comp(a12), comp(a21), comp(a22),
+             comp(b1), comp(b2))
 
     def combine(left, right):
         la11, la12, la21, la22, lb1, lb2 = left

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -79,9 +79,15 @@ class InvSolver:
     """
 
     ainv: jnp.ndarray                 # (n, n) float32
+    # optional explicit A⁻ᵀ: ``b @ ainv`` reduces over the MAJOR axis of
+    # the row-major inverse, which the TPU executes as a strided pass an
+    # order of magnitude slower than the natural ``ainv_t @ b`` (the
+    # transposed copy costs one extra n² f32 buffer, materialized once at
+    # problem build by ``with_transpose``; hot adjoint paths ask for it)
+    ainv_t: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return ((self.ainv,), None)
+        return ((self.ainv, self.ainv_t), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -91,11 +97,20 @@ class InvSolver:
         return (self.ainv @ b.astype(jnp.float32)).astype(jnp.float64)
 
     def solve32_t(self, b: jnp.ndarray) -> jnp.ndarray:
-        """(Aᵀ)⁻¹ b = A⁻ᵀ b — the transposed-matmul apply (no copy)."""
+        """(Aᵀ)⁻¹ b = A⁻ᵀ b — transposed-matmul apply (same products
+        either way; float64 refinement absorbs any reduction-order ulps)."""
+        if self.ainv_t is not None:
+            return (self.ainv_t @ b.astype(jnp.float32)).astype(jnp.float64)
         return (b.astype(jnp.float32) @ self.ainv).astype(jnp.float64)
 
+    def with_transpose(self) -> "InvSolver":
+        """Materialize the A⁻ᵀ copy for fast ``solve32_t`` applies."""
+        return InvSolver(self.ainv, self.ainv.T)
+
     def refactor(self, a: jnp.ndarray) -> "InvSolver":
-        return invert32(a)
+        # preserve the pytree structure (jit branches must match)
+        s = invert32(a)
+        return s.with_transpose() if self.ainv_t is not None else s
 
 
 def factorize(a: jnp.ndarray) -> LUSolver:

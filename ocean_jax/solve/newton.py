@@ -86,37 +86,58 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     if fac0 is None:
         fac0 = linalg.factorize(operator_fn(w0).dense())
 
-    def cond(state):
-        w, r, rnorm, it, fac = state
-        not_conv = (rnorm > atol) & (rnorm > rtol * r0norm)
-        return not_conv & (it < max_iter)
+    if reuse_factorization:
+        # fac0 is closed over, NOT carried: it is loop-invariant (a
+        # loop-variant 364 MB factor buffer costs ~1 s/GD-iter in
+        # copies). Stale-factor corrections can diverge to NaN when
+        # the Jacobian drifts far from J(w0) (advection-dominated
+        # regimes where even exact Newton stalls) — production
+        # drivers detect the non-finite residual and re-solve with
+        # reuse off (ocean_jax.opt.driver).
+        def cond(state):
+            w, r, rnorm, it = state
+            not_conv = (rnorm > atol) & (rnorm > rtol * r0norm)
+            return not_conv & (it < max_iter)
 
-    def body(state):
-        w, r, rnorm, it, fac = state
-        op = operator_fn(w)
-        if reuse_factorization:
-            # fac stays loop-invariant: no cond on it in the hot loop (a
-            # loop-variant 364 MB factor buffer costs ~1 s/GD-iter in
-            # copies). Stale-factor corrections can diverge to NaN when
-            # the Jacobian drifts far from J(w0) (advection-dominated
-            # regimes where even exact Newton stalls) — production
-            # drivers detect the non-finite residual and re-solve with
-            # reuse off (ocean_jax.opt.driver).
-            dw = fac.solve32(-r)
+        def body(state):
+            w, r, rnorm, it = state
+            # exact J(w)·v as the tangent of the BC-aware residual — the
+            # assembled operator is jacfwd of the SAME element residuals
+            # (fem/assemble.py), so this is the identical linear map
+            # without materializing 15-tangent element Jacobians every
+            # Newton iteration (was ~45 ms/GD-iteration of dot_generals
+            # + a ~2 ms scatter per matvec in the fused-profile trace)
+            _, jvp_fn = jax.linearize(bc_residual, w)
+            dw = fac0.solve32(-r)
             for _ in range(correction_iters):
-                dw = dw + fac.solve32(-(r + op.matvec64(dw)))
-        else:
+                dw = dw + fac0.solve32(-(r + jvp_fn(dw)))
+            w = w + dw
+            r = bc_residual(w)
+            return (w, r, jnp.linalg.norm(r), it + 1)
+
+        w, r, rnorm, it = jax.lax.while_loop(
+            cond, body, (w0, r0, r0norm, jnp.asarray(0)))
+        fac = fac0
+    else:
+        def cond(state):
+            w, r, rnorm, it, fac = state
+            not_conv = (rnorm > atol) & (rnorm > rtol * r0norm)
+            return not_conv & (it < max_iter)
+
+        def body(state):
+            w, r, rnorm, it, fac = state
+            op = operator_fn(w)
             # refactor() keeps the solver kind (LU factors or explicit
             # inverse) so both cond branches carry one pytree structure
             fac = jax.lax.cond(
                 it == 0, lambda: fac,
                 lambda: fac.refactor(op.dense()))
             dw = fac.solve32(-r)
-        w = w + dw
-        r = bc_residual(w)
-        return (w, r, jnp.linalg.norm(r), it + 1, fac)
+            w = w + dw
+            r = bc_residual(w)
+            return (w, r, jnp.linalg.norm(r), it + 1, fac)
 
-    w, r, rnorm, it, fac = jax.lax.while_loop(
-        cond, body, (w0, r0, r0norm, jnp.asarray(0), fac0))
+        w, r, rnorm, it, fac = jax.lax.while_loop(
+            cond, body, (w0, r0, r0norm, jnp.asarray(0), fac0))
     converged = (rnorm <= atol) | (rnorm <= rtol * r0norm)
     return NewtonResult(w, it, rnorm, converged, fac)
