@@ -127,3 +127,37 @@ def test_boundary_quad_trace_integral():
     un = jnp.einsum("fqi,fi->fq", u_q, bq.normals)
     val = float(jnp.sum(bq.weights * un))
     assert np.isclose(val, 1.0, atol=1e-13)
+
+
+def test_incidence_gather_equals_scatter():
+    """The transpose-incidence gather reduction (fem/spaces.py::
+    _mixed_incidence + assemble.scatter_vector(inc=...)) sums exactly the
+    same element contributions per dof as the scatter-add form — only the
+    accumulation order (reassociation) may differ, so integer-valued
+    contributions must agree bitwise and float ones to roundoff."""
+    from ocean_jax.fem import assemble
+
+    m = unit_square_mesh(5)
+    space = make_space(m)
+    nc, k = space.cell_dofs_mixed.shape
+    rng = np.random.default_rng(3)
+    vals = jnp.asarray(rng.standard_normal((nc, k)))
+
+    scat = assemble.scatter_vector(space.ndof, space.cell_dofs_mixed, vals)
+    gath = assemble.scatter_vector(space.ndof, space.cell_dofs_mixed, vals,
+                                   inc=space.inc_mixed)
+    assert gath.shape == scat.shape
+    assert float(jnp.max(jnp.abs(gath - scat))) < 1e-14
+
+    # integer-valued contributions: any dropped/duplicated incidence
+    # entry would show as an exact count mismatch
+    ones = jnp.ones((nc, k))
+    counts = assemble.scatter_vector(space.ndof, space.cell_dofs_mixed,
+                                     ones, inc=space.inc_mixed)
+    ref_counts = np.zeros(space.ndof)
+    np.add.at(ref_counts, np.asarray(space.cell_dofs_mixed).reshape(-1), 1.0)
+    assert np.array_equal(np.asarray(counts), ref_counts)
+
+    # max incidence on the structured triangulation: vertex dofs touch
+    # ≤6 cells, edge dofs 2 (documented in _mixed_incidence)
+    assert space.inc_mixed.shape[0] == 6
