@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import doublesingle as ds
 from .grideval import GridEval
-from .pallas_ode import _register_mosaic_barrier_lowering
+from .pallas_ode import (_register_mosaic_barrier_lowering, _lines_planes,
+                         _make_graded_axis)
 
 _register_mosaic_barrier_lowering()
 
@@ -60,11 +61,18 @@ def _p1_patch_weights_ds(s, t, diagonal):
             for b in range(2)], upper
 
 
-def _make_eval_kernel(loc, Gy: int, Gxp: int, ncomp: int, block: int):
+def _make_eval_kernel(loc, Gy: int, Gxp: int, ncomp: int, block: int,
+                      Lp: int = 0):
     """Kernel body with geometry constants baked in. ``planes`` holds
     ``ncomp`` field components as exact hi/lo f32 pairs, x-major:
-    (2·ncomp·Gxp, Gy)."""
+    (2·ncomp·Gxp, Gy). ``Lp`` is the padded grid-line-table extent for
+    graded tensor meshes (0 = uniform closed-form location). Hole
+    domains need no in-kernel handling: evaluation is clamped and the
+    caller masks with the f64 ``in_domain`` predicate — out-of-domain
+    lanes read the same (zero-filled) image nodes as the XLA grid path,
+    so parity holds even on masked lanes."""
     nx, ny = loc.grid_shape
+    graded = not loc.uniform
     x0c, y0c = ds.const(loc.origin[0]), ds.const(loc.origin[1])
     hxc, hyc = ds.const(loc.spacing[0]), ds.const(loc.spacing[1])
     xmin, ymin, xmax, ymax = loc.extent
@@ -77,7 +85,11 @@ def _make_eval_kernel(loc, Gy: int, Gxp: int, ncomp: int, block: int):
         cy_proj = ds.const(loc.lshape_corner[1] - 0.5 * loc.spacing[1])
     diagonal = loc.diagonal
 
-    def kernel(ph_ref, plo_ref, planes_ref, oh_ref, ol_ref):
+    def kernel(*refs):
+        it = iter(refs)
+        ph_ref, plo_ref, planes_ref = next(it), next(it), next(it)
+        lines_ref = next(it) if graded else None
+        oh_ref, ol_ref = next(it), next(it)
         shape = (1, block)
         zf = jnp.zeros(shape, jnp.float32)
 
@@ -106,8 +118,14 @@ def _make_eval_kernel(loc, Gy: int, Gxp: int, ncomp: int, block: int):
             s = ds.add_f32(frac, ixf - d)
             return d.astype(jnp.int32), s
 
-        ix, s = axis_coords(pcx, x0c, hxc, nx)
-        iy, t = axis_coords(pcy, y0c, hyc, ny)
+        if graded:
+            coords_x, coords_y = _make_graded_axis(lines_ref, Lp, block,
+                                                   nx, ny)
+            ix, s = coords_x(pcx)
+            iy, t = coords_y(pcy)
+        else:
+            ix, s = axis_coords(pcx, x0c, hxc, nx)
+            iy, t = axis_coords(pcy, y0c, hyc, ny)
         W, _ = _p1_patch_weights_ds(s, t, diagonal)
 
         onehot = jnp.concatenate(
@@ -166,23 +184,31 @@ def _run_eval(grid: GridEval, field_img: jnp.ndarray, points: jnp.ndarray,
     p_hi = pts.astype(jnp.float32).T                     # (2, Npad)
     p_lo = (pts - p_hi.T.astype(jnp.float64)).astype(jnp.float32).T
 
-    kernel = _make_eval_kernel(loc, Gy, Gxp, ncomp, _BLOCK)
+    nx, ny = loc.grid_shape
+    graded = not loc.uniform
+    Lp = _round_up(max(nx, ny) + 1, 8) if graded else 0
+    kernel = _make_eval_kernel(loc, Gy, Gxp, ncomp, _BLOCK, Lp)
     zero = np.int32(0)
     pt_spec = pl.BlockSpec((2, _BLOCK), lambda i: (zero, i),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ncomp, _BLOCK), lambda i: (zero, i),
                             memory_space=pltpu.VMEM)
+    extra_inputs, extra_specs = [], []
+    if graded:
+        extra_inputs.append(_lines_planes(loc, Lp))
+        extra_specs.append(pl.BlockSpec((Lp, 128), lambda i: (zero, zero),
+                                        memory_space=pltpu.VMEM))
     oh, ol = pl.pallas_call(
         kernel,
         grid=(Npad // _BLOCK,),
         in_specs=[pt_spec, pt_spec,
                   pl.BlockSpec((2 * ncomp * Gxp, Gy),
                                lambda i: (zero, zero),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] + extra_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((ncomp, Npad), jnp.float32)] * 2,
         interpret=interpret,
-    )(p_hi, p_lo, planes)
+    )(p_hi, p_lo, planes, *extra_inputs)
     oh, ol = jax.lax.optimization_barrier((oh, ol))      # interpret-mode EFT guard
     return (oh.astype(jnp.float64) + ol.astype(jnp.float64)).T[:Np]
 
@@ -209,13 +235,6 @@ def eval_p1_tensor_pallas(grid: GridEval, g_grid: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     loc = grid.locator
-    if loc.hole is not None:
-        raise NotImplementedError(
-            "pallas eval does not support hole domains")
-    if not loc.uniform:
-        raise NotImplementedError(
-            "pallas eval needs a uniform grid; graded tensor meshes use "
-            "the XLA grideval path")
     shape = points.shape[:-1]
     pts = points.reshape(-1, 2)
     runner = _run_eval if interpret else _run_eval_jit

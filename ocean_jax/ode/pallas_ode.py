@@ -21,8 +21,20 @@ Escape masking reproduces ``ode/primal.py`` exactly (same freeze/record
 rules); the final-step evaluation and escaped-buoy overwrite
 (``OCP_dolfin.py:213-229``) run outside the kernel in f64 XLA.
 
-Supported domains: structured square/rectangle and L-shape ("right" or
-"left" diagonal). Pipe-with-hole falls back to the XLA grid backend.
+Supported domains: ALL structured domains ("right" or "left" diagonal) —
+square/rectangle, L-shape, and the gen-1 pipe meshes
+(``old_dolfinx_files/mesh_init.py:95-194``) in every variant:
+
+* **locally-graded tensor grids** (``mesh/structured.py::graded_lines``):
+  the closed-form index arithmetic is replaced by an in-kernel
+  searchsorted — grid lines enter as an exact hi/lo f32 table, the
+  owning interval is a comparison count over the (few hundred) lines,
+  and the interval endpoints come back through an exact one-hot
+  selection (0/1 × f32 products, error-free);
+* **obstacle (hole) domains**: the escape predicate reproduces
+  ``mesh/locate.py::in_domain`` — the exact-circle test in double-single
+  arithmetic plus the active-square condition, read from a 0/1 mask
+  plane via the same one-hot MXU row selection as the velocity patch.
 """
 
 from __future__ import annotations
@@ -125,9 +137,80 @@ def _patch_weights_ds(s, t, diagonal):
             for b in range(3)], upper
 
 
-def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
-    """Build the kernel body with all geometry constants baked in."""
+def _lines_planes(loc, Lp: int) -> jnp.ndarray:
+    """Grid-line table for graded tensor meshes: (Lp, 128) f32 with
+    columns [xs_hi, xs_lo, ys_hi, ys_lo] (exact hi/lo split of the f64
+    lines). Pad entries are a large FINITE sentinel — they must compare
+    greater than any clamped point (so the interval count ignores them)
+    yet multiply to 0.0 under the one-hot selection (inf·0 would be
+    NaN)."""
+    pad = jnp.float32(1e30)
+    out = jnp.zeros((Lp, 128), jnp.float32)
+    for col, lines in ((0, loc.xs_lines), (2, loc.ys_lines)):
+        n1 = lines.shape[0]
+        hi = lines.astype(jnp.float32)
+        lo = (lines - hi.astype(jnp.float64)).astype(jnp.float32)
+        hi = jnp.concatenate([hi, jnp.full((Lp - n1,), pad)])
+        lo = jnp.concatenate([lo, jnp.zeros((Lp - n1,), jnp.float32)])
+        out = out.at[:, col].set(hi).at[:, col + 1].set(lo)
+    return out
+
+
+def _make_graded_axis(lines_ref, Lp: int, block: int, nx: int, ny: int):
+    """In-kernel searchsorted for graded tensor grids: returns
+    (coords_x, coords_y), each mapping a clamped ds coordinate (1, block)
+    to (interval index int32 (1, block), local ds coordinate).
+
+    Matches ``mesh.locate._square_index``'s graded branch: interval by
+    side="right" searchsorted (= count of lines ≤ p, minus one, clipped),
+    then s = (p − line[ix]) / (line[ix+1] − line[ix]). The count is a
+    ds-exact comparison against every line; the interval endpoints come
+    from an error-free one-hot selection (1.0·x + Σ 0.0·pad)."""
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (Lp, block), 0)
+    lines = lines_ref[:]                         # one full (Lp, 128) load
+
+    def make(col, n):
+        lh = jnp.broadcast_to(lines[:, col:col + 1], (Lp, block))
+        ll = jnp.broadcast_to(lines[:, col + 1:col + 2], (Lp, block))
+
+        def coords(p):
+            below = ~ds.gt((lh, ll), p)            # line_j <= p
+            # dtype pinned: under x64 jnp.sum would promote the int32
+            # accumulator to int64, which Mosaic cannot lower
+            cnt = jnp.sum(below.astype(jnp.int32), axis=0, keepdims=True,
+                          dtype=jnp.int32)
+            # lax.clamp on explicit int32s: jnp.clip's python-int bounds
+            # recurse in the Mosaic kernel tracer (weak-type conversion
+            # loop under x64)
+            ix = jax.lax.clamp(jnp.int32(0), cnt - jnp.int32(1),
+                               jnp.int32(n - 1))
+            sell = (iota_l == ix).astype(jnp.float32)
+            selr = (iota_l == ix + jnp.int32(1)).astype(jnp.float32)
+            xl = (jnp.sum(lh * sell, axis=0, keepdims=True),
+                  jnp.sum(ll * sell, axis=0, keepdims=True))
+            xr = (jnp.sum(lh * selr, axis=0, keepdims=True),
+                  jnp.sum(ll * selr, axis=0, keepdims=True))
+            s = ds.div(ds.sub(p, xl), ds.sub(xr, xl))
+            return ix, s
+
+        return coords
+
+    return make(0, nx), make(2, ny)
+
+
+def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int,
+                 Lp: int = 0, nxp_mask: int = 0):
+    """Build the kernel body with all geometry constants baked in.
+    ``Lp``/``nxp_mask`` are the padded line-table/active-mask extents for
+    graded/hole domains (0 when absent — the kernel then takes no such
+    input)."""
     nx, ny = loc.grid_shape
+    graded = not loc.uniform
+    hole = loc.hole is not None
+    if hole:
+        hcxc = ds.const(loc.hole[0])
+        hcyc = ds.const(loc.hole[1])
+        r2c = ds.const(loc.hole[2] * loc.hole[2])
     x0c, y0c = ds.const(loc.origin[0]), ds.const(loc.origin[1])
     hxc, hyc = ds.const(loc.spacing[0]), ds.const(loc.spacing[1])
     hc = ds.const(h)
@@ -150,9 +233,14 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
         """ds python-float constant → ds (1, block) arrays."""
         return (jnp.full_like(ref, c[0]), jnp.full_like(ref, c[1]))
 
-    def kernel(x0h_ref, x0l_ref, planes_ref,
-               xs_h_ref, xs_l_ref, us_h_ref, us_l_ref,
-               failed_ref, kfail_ref):
+    def kernel(*refs):
+        it = iter(refs)
+        x0h_ref, x0l_ref, planes_ref = next(it), next(it), next(it)
+        lines_ref = next(it) if graded else None
+        mask_ref = next(it) if hole else None
+        (xs_h_ref, xs_l_ref, us_h_ref, us_l_ref,
+         failed_ref, kfail_ref) = (next(it) for _ in range(6))
+
         shape = (1, block)
         zf = jnp.zeros(shape, jnp.float32)
 
@@ -161,6 +249,13 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
 
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (Hy, block), 0)
         iota_x = jax.lax.broadcasted_iota(jnp.int32, (Hxp, block), 0)
+        if graded:
+            coords_x, coords_y = _make_graded_axis(lines_ref, Lp, block,
+                                                   nx, ny)
+        if hole:
+            iota_my = jax.lax.broadcasted_iota(jnp.int32, (ny, block), 0)
+            iota_mx = jax.lax.broadcasted_iota(jnp.int32,
+                                               (nxp_mask, block), 0)
 
         # x0 → trajectory slot 0
         xs_h_ref[0:1, :] = x0h_ref[0:1, :]
@@ -210,8 +305,31 @@ def _make_kernel(loc, Hy: int, Hxp: int, nt: int, h: float, block: int):
                 in_block = ds.gt(C(cx_clamp), pcx) & ds.gt(pcy, C(cy_clamp))
                 pcy = ds.where(in_block, C(cy_proj), pcy)
 
-            ix, s = axis_coords(pcx, x0c, hxc, nx)
-            iy, t = axis_coords(pcy, y0c, hyc, ny)
+            if graded:
+                ix, s = coords_x(pcx)
+                iy, t = coords_y(pcy)
+            else:
+                ix, s = axis_coords(pcx, x0c, hxc, nx)
+                iy, t = axis_coords(pcy, y0c, hyc, ny)
+
+            if hole:
+                # in_domain's obstacle conditions: exact-circle test on
+                # the RAW position, active-square test on the clamped one
+                # (mesh/locate.py:136-142)
+                dxc, dyc = ds.sub(px, C(hcxc)), ds.sub(py, C(hcyc))
+                d2 = ds.add(ds.mul(dxc, dxc), ds.mul(dyc, dyc))
+                inside = inside & (~ds.gt(C(r2c), d2))
+                rowhot = (iota_my == iy).astype(jnp.float32)
+                Rm = jax.lax.dot_general(
+                    mask_ref[:], rowhot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)    # (nxp, block)
+                act = jnp.sum(
+                    Rm * (iota_mx == ix).astype(jnp.float32),
+                    axis=0, keepdims=True)
+                inside = inside & (act > np.float32(0.5))
+
             W, _ = _patch_weights_ds(s, t, diagonal)
 
             # --- exact one-hot MXU row selection ------------------------
@@ -322,7 +440,12 @@ def _run_pallas_ode(grid: GridEval, u_img: jnp.ndarray, x0: jnp.ndarray,
     x0_hi = x0_hi.T                                            # (2, Kp)
     x0_lo = x0_lo.T
 
-    kernel = _make_kernel(loc, Hy, Hxp, nt, h, _BLOCK)
+    nx, ny = loc.grid_shape
+    graded = not loc.uniform
+    hole = loc.hole is not None
+    Lp = _round_up(max(nx, ny) + 1, 8) if graded else 0
+    nxp_mask = _round_up(nx, 8) if hole else 0
+    kernel = _make_kernel(loc, Hy, Hxp, nt, h, _BLOCK, Lp, nxp_mask)
     nblk = Kp // _BLOCK
     out_shape = [
         jax.ShapeDtypeStruct((2 * nt, Kp), jnp.float32),   # xs hi
@@ -341,17 +464,30 @@ def _run_pallas_ode(grid: GridEval, u_img: jnp.ndarray, x0: jnp.ndarray,
                              memory_space=pltpu.VMEM)
     flag_spec = pl.BlockSpec((1, _BLOCK), lambda i: (zero, i),
                              memory_space=pltpu.VMEM)
+    extra_inputs, extra_specs = [], []
+    if graded:
+        extra_inputs.append(_lines_planes(loc, Lp))
+        extra_specs.append(pl.BlockSpec((Lp, 128), lambda i: (zero, zero),
+                                        memory_space=pltpu.VMEM))
+    if hole:
+        active = (loc.square_to_cell[:, :, 0] >= 0)        # (ny, nx)
+        maskp = jnp.pad(active.T.astype(jnp.float32),
+                        ((0, nxp_mask - nx), (0, 0)))      # (nxp, ny)
+        extra_inputs.append(maskp)
+        extra_specs.append(pl.BlockSpec((nxp_mask, ny),
+                                        lambda i: (zero, zero),
+                                        memory_space=pltpu.VMEM))
     xs_h, xs_l, us_h, us_l, failed, kfail = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[buoy_spec, buoy_spec,
                   pl.BlockSpec((4 * Hxp, Hy), lambda i: (zero, zero),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] + extra_specs,
         out_specs=[time_spec, time_spec, time_spec, time_spec,
                    flag_spec, flag_spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(x0_hi, x0_lo, planes)
+    )(x0_hi, x0_lo, planes, *extra_inputs)
 
     # In interpret mode the kernel lowers to plain XLA ops; without this
     # barrier XLA:CPU fuses the hi/lo→f64 recombination into the
@@ -381,15 +517,6 @@ def solve_primal_ode_pallas(space: TaylorHoodSpace, grid: GridEval,
         raise ValueError("pallas ODE backend needs a GridEval "
                          "(build_problem(ode_backend='pallas'))")
     loc = grid.locator
-    if loc.hole is not None:
-        raise NotImplementedError(
-            "pallas ODE backend does not support hole domains; use "
-            "ode_backend='grid'")
-    if not loc.uniform:
-        raise NotImplementedError(
-            "pallas ODE backend needs a uniform grid (the in-kernel "
-            "index arithmetic is closed-form); graded tensor meshes use "
-            "ode_backend='grid'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if nt < 3:

@@ -1016,24 +1016,46 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
                       nu_scale: float = 1.0, rtol: float = 1e-9,
                       atol: float = 1e-10, max_iter: int = 50,
                       polish: int = 1, step_tol: float = 1e-6,
-                      sync=None):
+                      sync=None, max_refreeze: int = 0,
+                      stall_ratio: float = 0.5, on_step=None):
     """Drive the stepped Newton from the host — the ``newton_solve_mg``
     loop with one device program per step. Returns (w, it, rnorm,
     converged). ``sync``: optional callable forcing a host transfer after
-    each step (bounds the async dispatch queue through the tunnel)."""
+    each step (bounds the async dispatch queue through the tunnel).
+
+    ``max_refreeze`` > 0 (the convection-dominated robustness knob,
+    VERDICT r2 item 9): when a step reduces the residual by less than
+    ``stall_ratio``, re-freeze the preconditioner at the CURRENT iterate
+    — ``stager.init`` rebuilds the frozen fine operator (smoother
+    diagonal picks up the convection at w) and, with
+    ``mg_coarse_krylov`` > 0, the coarse linearization the inner Krylov
+    solves. 0 = off (the ν=1 production paths stay bit-identical).
+    ``on_step(it, rn, event)``: per-step observability callback
+    (event ∈ {"", "refreeze"})."""
     nu_t = jnp.asarray(float(nu))
     sc_t = jnp.asarray(float(nu_scale))
     op0, op0_c, r, rn_dev = stager.init(f_quad, w0, nu_t)
     r0norm = rn = float(rn_dev)
     w, it = w0, 0
+    refrozen = 0
     while rn > atol and rn > rtol * r0norm and it < max_iter:
+        prev = rn
         w, r, rn_dev = stager.step(f_quad, w, r, jnp.asarray(rn), op0,
                                    op0_c, nu_t, sc_t,
                                    jnp.asarray(step_tol))
         rn = float(rn_dev)
         it += 1
+        if on_step is not None:
+            on_step(it, rn, "")
         if sync is not None:
             sync(w)
+        if (refrozen < max_refreeze and rn > stall_ratio * prev
+                and rn > atol and rn > rtol * r0norm):
+            op0, op0_c, r, rn_dev = stager.init(f_quad, w, nu_t)
+            rn = float(rn_dev)
+            refrozen += 1
+            if on_step is not None:
+                on_step(it, rn, "refreeze")
     converged = (rn <= atol) or (rn <= rtol * r0norm)
     tight = min(step_tol, 1e-8)
     for _ in range(polish):
@@ -1041,6 +1063,9 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
                                    op0_c, nu_t, sc_t, jnp.asarray(tight))
         rn = float(rn_dev)
         it += 1
+    # the polish step may cross the threshold — credit it (the flag
+    # gates a hard assert in the staged hires runner)
+    converged = converged or (rn <= atol) or (rn <= rtol * r0norm)
     return w, it, rn, converged
 
 

@@ -58,7 +58,9 @@ def run_gd(prob, f, lr, iters, fh, tag, line_search=False):
 
 
 def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
-                  line_search=False, cfg=None, adj_max_rounds=4):
+                  line_search=False, cfg=None, adj_max_rounds=4,
+                  newton_max_iter=50, newton_refreeze=0,
+                  log_newton_steps=False):
     """Stage-separated GD iteration (forward / adjoint / update as three
     XLA programs). The fused Nx=64 gd_step reproducibly crashes the
     remote-compile worker (known large-HLO failure mode); the staged path
@@ -109,6 +111,12 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
         def sync(x):
             np.asarray(x[:1])
 
+        on_step = None
+        if log_newton_steps:
+            def on_step(it_, rn_, event):
+                log(f"{tag}:   newton step {it_} rn={rn_:.3e}"
+                    f"{' [refreeze]' if event else ''}", fh)
+
         def forward(f_, w_warm=None):
             w = jnp.zeros(prob.space.ndof) if w_warm is None else w_warm
             if ladder and w_warm is None:
@@ -117,11 +125,14 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                     t0 = time.time()
                     w, rit, _, _ = sys_mod.run_newton_staged(
                         stager, f_.quad, w, ratio ** k,
-                        nu_scale=ratio ** k / prob.nu, sync=sync)
+                        nu_scale=ratio ** k / prob.nu, sync=sync,
+                        max_refreeze=newton_refreeze)
                     log(f"{tag}: rung {k} nu={ratio**k:.4g} "
                         f"newton={rit} ({time.time()-t0:.1f}s)", fh)
             w, nit, rn, conv = sys_mod.run_newton_staged(
-                stager, f_.quad, w, prob.nu, sync=sync)
+                stager, f_.quad, w, prob.nu, sync=sync,
+                max_iter=newton_max_iter, max_refreeze=newton_refreeze,
+                on_step=on_step)
             return stager.finish(f_.quad, w, jnp.asarray(nit),
                                  jnp.asarray(rn), jnp.asarray(conv))
 
@@ -246,6 +257,18 @@ def main():
                     help="viscosity-continuation rungs (vanilla Newton "
                          "from w=0 diverges below ν≈0.02; 4 rungs reach "
                          "the ν=0.01 golden-run regime)")
+    ap.add_argument("--newton-max-iter", type=int, default=50,
+                    help="stepped-Newton iteration cap (the ν=0.01 "
+                         "Nx=64 target solve converges linearly at "
+                         "~0.4 decades/step — 50 runs out one decade "
+                         "short at rn≈1.3e-8)")
+    ap.add_argument("--newton-refreeze", type=int, default=0,
+                    help="stall-triggered preconditioner re-freezes at "
+                         "the current iterate (VERDICT r2 item 9); "
+                         "0 keeps ν=1 runs bit-identical")
+    ap.add_argument("--log-newton-steps", action="store_true",
+                    help="log per-step Newton residuals of the target-ν "
+                         "staged solves")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -362,7 +385,10 @@ def main():
                 prob, f, args.lr, args.iters, fh, tag,
                 state_path=os.path.join(OUT, f"state_{tag}.npz"),
                 line_search=args.line_search, cfg=cfg,
-                adj_max_rounds=args.adj_max_rounds)
+                adj_max_rounds=args.adj_max_rounds,
+                newton_max_iter=args.newton_max_iter,
+                newton_refreeze=args.newton_refreeze,
+                log_newton_steps=args.log_newton_steps)
         else:
             js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
                                     args.iters, fh, tag,

@@ -102,20 +102,28 @@ def test_graded_mesh_stokes_solve():
     assert float(assemble.divergence_l2(space, u)) < 0.05
 
 
-def test_grideval_supports_graded_mesh_pallas_rejects():
-    """The table-free grid evaluator runs on graded tensor meshes (per-
-    axis searchsorted location, round-3); only the fused Pallas kernel —
-    whose in-kernel index arithmetic is closed-form — falls back."""
-    import jax.numpy as jnp
+def test_pallas_backend_runs_on_graded_mesh():
+    """Round-3 tail: the fused Pallas kernel runs on graded tensor
+    meshes via the in-kernel searchsorted (exact hi/lo grid-line table,
+    comparison-count interval location, one-hot endpoint selection) and
+    matches the f64 gather backend within the double-single bar."""
     from ocean_jax.ode.grideval import make_grideval
     from ocean_jax.ode.pallas_ode import solve_primal_ode_pallas
+    from ocean_jax.ode.primal import solve_primal_ode
     mesh, _ = structured.pipe_mesh(obstacle=False, graded=True,
                                    lc_min=0.08, lc_max=0.3)
     sp = make_space(mesh)
     ge = make_grideval(sp)
     assert ge.hg_shape == (2 * sp.locator.grid_shape[1] + 1,
                            2 * sp.locator.grid_shape[0] + 1)
-    with pytest.raises(NotImplementedError):
-        solve_primal_ode_pallas(sp, ge, jnp.zeros((sp.n_p2, 2)),
-                                jnp.zeros((2, 2)), 0.005, 10,
-                                jnp.asarray([1.0, 1.0]))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.5 * rng.standard_normal((sp.n_p2, 2)))
+    K, nt, h = 17, 40, 0.02
+    x0 = jnp.asarray(rng.uniform(0.1, 1.9, (K, 2)))
+    center = jnp.asarray([1.0, 1.0])
+    ref = solve_primal_ode(sp, u, x0, h, nt, center)
+    pal = solve_primal_ode_pallas(sp, ge, u, x0, h, nt, center)
+    assert bool(jnp.all(pal.mask == ref.mask))
+    assert bool(jnp.all(pal.kfail == ref.kfail))
+    assert float(jnp.max(jnp.abs(pal.x - ref.x))) < 1e-9
+    assert float(jnp.max(jnp.abs(pal.u_values - ref.u_values))) < 1e-9

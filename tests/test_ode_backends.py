@@ -159,10 +159,11 @@ def test_primal_ode_backends_agree(name, mesh, center):
                                          lc_min=0.06, lc_max=0.3)[0]),
 ])
 def test_primal_ode_grid_backend_pipe_domains(name, mesh):
-    """gather vs grid parity on the gen-1 pipe domains (hole + graded) —
-    trajectories that skirt the obstacle and escape through it must agree
-    exactly (escape = in_domain with the active-square condition). The
-    Pallas kernel intentionally rejects these domains (gated fallback)."""
+    """gather vs grid vs pallas parity on the gen-1 pipe domains (hole +
+    graded) — trajectories that skirt the obstacle and escape through it
+    must agree exactly (escape = in_domain with the active-square
+    condition; the Pallas kernel reproduces it via the ds circle test +
+    one-hot mask-plane lookup, round-3 tail)."""
     rng = np.random.default_rng(7)
     sp = make_space(mesh)
     ge = make_grideval(sp)
@@ -179,8 +180,11 @@ def test_primal_ode_grid_backend_pipe_domains(name, mesh):
     assert float(jnp.max(jnp.abs(grid.x - ref.x))) < 1e-12
     assert float(jnp.max(jnp.abs(grid.u_values - ref.u_values))) < 1e-12
 
-    with pytest.raises(NotImplementedError):
-        solve_primal_ode_pallas(sp, ge, u, x0, h, nt, center)
+    pal = solve_primal_ode_pallas(sp, ge, u, x0, h, nt, center)
+    assert bool(jnp.all(pal.mask == ref.mask))
+    assert bool(jnp.all(pal.kfail == ref.kfail))
+    assert float(jnp.max(jnp.abs(pal.x - ref.x))) < 1e-9
+    assert float(jnp.max(jnp.abs(pal.u_values - ref.u_values))) < 1e-9
 
 
 # ---------------------------------------------------------------------------

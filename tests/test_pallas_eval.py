@@ -52,6 +52,34 @@ def test_eval_matches_gather(lshape):
     assert d < 2e-6, d
 
 
+@pytest.mark.parametrize("obstacle,graded", [(True, False), (True, True),
+                                             (False, True)])
+def test_eval_matches_grid_on_pipe_domains(obstacle, graded):
+    """Round-3 tail: the eval kernel covers the gen-1 pipe domains —
+    graded tensor grids via the in-kernel searchsorted, hole domains by
+    clamped evaluation + the caller's f64 in_domain mask (identical to
+    the XLA grid path even on masked lanes)."""
+    from ocean_jax.mesh import structured
+    from ocean_jax.fem.spaces import make_space
+    from ocean_jax.ode.grideval import make_grideval, eval_p1_tensor_grid
+    kw = dict(lc_min=0.08, lc_max=0.3) if graded else dict(resolution=12)
+    mesh, _ = structured.pipe_mesh(obstacle=obstacle, graded=graded, **kw)
+    sp = make_space(mesh)
+    ge = make_grideval(sp)
+    rng = np.random.default_rng(5)
+    grad_u = jnp.asarray(rng.standard_normal((sp.n_p1, 2, 2)))
+    g_img = grad_to_grid(ge, grad_u)
+    pts = jnp.asarray(rng.uniform([0.0, 0.0], [2.0, 2.0], (512, 2)))
+    ref, ins_ref = eval_p1_tensor_grid(ge, g_img, pts)
+    val, ins = eval_p1_tensor_pallas(ge, g_img, pts)
+    assert bool((ins == ins_ref).all())
+    if obstacle:
+        assert not bool(ins.all())          # hole lanes exercised
+    sel = np.asarray(ins_ref)
+    d = np.abs(np.asarray(ref) - np.asarray(val))[sel].max()
+    assert d < 2e-6, d                      # f32-level CPU-interpret bar
+
+
 def test_adjoint_mu_matches():
     """solve_adjoint_ode with the kernel equals the gather path, incl.
     the reuse-previous-∇u escape quirk handled outside the kernel."""

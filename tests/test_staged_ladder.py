@@ -161,6 +161,58 @@ def test_coarse_krylov_low_viscosity_warm_probe():
     assert conv, (it, rn)
 
 
+def test_stepped_newton_refreeze_matches_reference():
+    """max_refreeze exercises the stall-triggered re-freeze (VERDICT r2
+    item 9): stall_ratio=0.0 makes the trigger (rn > ratio·prev) fire
+    after every unconverged step, forcing a re-init at the current
+    iterate until the budget is spent — the re-frozen preconditioner
+    must leave the exact-f64 Newton answer unchanged; and with the
+    default budget 0 at ν=1 the path is bit-identical to the plain run
+    (production-default regression guard)."""
+    cfg, prob = _mg_problem(nu=1.0, n_rungs=0)
+    f = sys_mod.initial_control(prob, case=4)
+    stager = sys_mod.make_newton_stager(prob)
+    w0 = jnp.zeros(prob.space.ndof)
+    w_ref, it_ref, rn_ref, conv_ref = sys_mod.run_newton_staged(
+        stager, f.quad, w0, prob.nu)
+    assert conv_ref
+
+    events = []
+    w, it, rn, conv = sys_mod.run_newton_staged(
+        stager, f.quad, w0, prob.nu, max_refreeze=2, stall_ratio=0.0,
+        on_step=lambda i, r, e: events.append((i, e)))
+    assert conv
+    assert sum(1 for _, e in events if e == "refreeze") == 2
+    scale = float(jnp.abs(w_ref).max())
+    assert float(jnp.abs(w - w_ref).max()) < 1e-9 * scale
+
+    # defaults (max_refreeze=0) are bit-identical to the plain signature
+    w2, it2, rn2, conv2 = sys_mod.run_newton_staged(
+        stager, f.quad, w0, prob.nu, max_refreeze=0)
+    assert (it2, rn2, conv2) == (it_ref, rn_ref, conv_ref)
+    assert float(jnp.abs(w2 - w_ref).max()) == 0.0
+
+
+def test_polish_step_credits_convergence():
+    """The polish step (tightened-tolerance final FGMRES) may cross the
+    convergence threshold; the returned flag must credit it — the flag
+    gates a hard assert in the staged hires runner, and the ν=0.01 Nx=64
+    run died on a 1.334e-8 residual whose polish was never counted."""
+    residuals = iter([0.5, 5e-11])         # loop step, then polish step
+
+    def fake_init(f_quad, w0, nu):
+        return None, None, w0, jnp.asarray(1.0)
+
+    def fake_step(f_quad, w, r, rn, op0, op0_c, nu, sc, tol):
+        return w, r, jnp.asarray(next(residuals))
+
+    stager = sys_mod.NewtonStager(fake_init, fake_step, None, None)
+    w, it, rn, conv = sys_mod.run_newton_staged(
+        stager, None, jnp.zeros(3), 1.0, max_iter=1, polish=1)
+    assert it == 2 and rn == 5e-11
+    assert conv            # pre-round-3-tail code returned False here
+
+
 def test_staged_adjoint_matches_fused():
     """run_adjoint_staged (one device program per fp64-refinement round,
     the Nx=256 worker-crash fix) == the fused solve_adjoint + gradient:
