@@ -179,7 +179,8 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
         assert bool(adj_ok), (
             f"{tag}: adjoint FGMRES not converged at iteration {i} — "
             "preconditioner-quality loss would silently corrupt the "
-            "gradient (try --mg-coarse-krylov at low viscosity)")
+            "gradient (raise --adj-max-rounds; note --mg-coarse-krylov "
+            "measurably HURT convergence in this regime — r3h/r3j A/B)")
         if line_search:
             cond = -c_armijo * float(gradj_dev)
             for inner in range(15):

@@ -1,12 +1,16 @@
 #!/bin/bash
 # Round-3 TPU queue, part j — nx64 nu=0.01 (VERDICT r2 item 9), take 3.
-# r3h's config converged the stalling solve to rn=1.334e-8 in the 50-step
-# cap (one decade short of rtol·r0). r3i added --mg-coarse-krylov 10 +
-# --newton-refreeze 2 and made it WORSE: contraction per Newton step
-# degraded from ~0.78 (r3h) to ~0.997 (observed at steps 6-46, rn pinned
-# at ~3.8e-5; the slowdown coincided with the two refreeze events).
-# So: r3h's exact flags with ONLY the cap raised 50→90 (plus step logging
-# and deeper adjoint refinement, both inert for Newton convergence).
+# ATTRIBUTION (corrected): r3h already ran WITH --mg-coarse-krylov 10 and
+# --adj-max-rounds 6 (results/tpu_queue_r3h.log line 1) and its final-rung
+# Newton crawled at ~0.78/step to rn=1.334e-8 (one decade short at cap
+# 50). r3i = r3h + --newton-refreeze 2: worse (~0.997/step, rn pinned at
+# 3.8e-5) — the refreeze knob is implicated by that delta.
+# This run, r3j = r3h MINUS --mg-coarse-krylov 10, PLUS cap 50→90 and
+# step logging. Outcome (results/hires_mg/run.log): the final rung
+# converged in 7 steps to rn=1.037e-11, implicating --mg-coarse-krylov
+# as the Newton-side culprit; the run then asserted in the adjoint
+# (rel res stall at 5.2e-6 — the ν-mis-scaled adjoint preconditioner,
+# fixed in round 4 via nu_scale=1/ν).
 # Resume-safe: state_nx64_nu0.01.npz carries it=1's control/LR.
 cd "$(dirname "$0")/.." || exit 1
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
