@@ -73,6 +73,11 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
                         "FGMRES(k) on the state-assembled coarse operator "
                         "preconditioned by the frozen Stokes coarse solve "
                         "(needed at ν≲0.05 on the mg path; 0 = off)")
+    p.add_argument("--mg-leaf-budget", type=int,
+                   default=defaults.mg_leaf_budget,
+                   help="max velocity dofs of the multigrid leaf level "
+                        "(0 = default 20k); smaller forces a deeper "
+                        "hierarchy with a cheaper leaf-inverse build")
     p.add_argument("--newton-continuation", type=int,
                    default=defaults.newton_continuation,
                    help="viscosity-continuation rungs for the forward "
@@ -121,5 +126,6 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         mg_pre=args.mg_pre,
         mg_post=args.mg_post,
         mg_coarse_krylov=args.mg_coarse_krylov,
+        mg_leaf_budget=args.mg_leaf_budget,
         newton_continuation=args.newton_continuation,
     )

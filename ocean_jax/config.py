@@ -74,13 +74,15 @@ class OCPConfig:
     max_line_search_iters: int = 80   # safety bound (reference loops forever)
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
+    newton_correction_iters: int = 3  # Richardson correction sweeps per chord-Newton step on the reuse-LU path (each = one exact jvp + one solve32; fewer sweeps = cheaper steps but more of them)
     dense_apply: str = "lu"           # lu|inverse — float32 preconditioner application on the dense path: sequential triangular solves, or one chunked-trsm explicit inverse whose every apply is a single MXU matmul
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
     mg_matvec: str = "stencil"        # stencil|scatter — Krylov/smoother operator application: offset-stencil images (structured-grid fast path, ops/stencil.py) or element scatter-add
     newton_continuation: int = 0      # viscosity-continuation rungs for the forward Newton solve (0 = reference-exact vanilla Newton from w=0, which diverges below ν≈0.02). Keep per-rung ν-drops ≤2×: n ≥ log2(1/ν) − 1, e.g. 6 rungs for the ν=0.01 golden-run regime
     mg_pre: int = 2                   # V-cycle pre-smoothing Jacobi sweeps (per level)
     mg_post: int = 2                  # V-cycle post-smoothing Jacobi sweeps (per level)
-    mg_coarse_krylov: int = 0         # >0: convection-aware coarse correction — the frozen Stokes coarse solve preconditions an FGMRES(k) on the coarse operator assembled at the linearization state (solve/mg.py). Needed at ν≲0.05 with linear_solver=mg (the Stokes coarse V-cycle stalls warm Newton at Nx≥64); 0 = off (ν=1 paths bit-identical)
+    mg_coarse_krylov: int = 0         # >0: convection-aware coarse correction — the frozen Stokes coarse solve preconditions an FGMRES(k) on the coarse operator assembled at the linearization state (solve/mg.py). EXPERIMENTAL: the r3h/r3j hardware A/B at ν=0.01 Nx=64 showed it degrades Newton contraction (0.78/step crawl with it, 7-step convergence without); the ν≠1 adjoint is handled by the nu_scale=1/ν hierarchy scaling instead. 0 = off (ν=1 paths bit-identical)
+    mg_leaf_budget: int = 0           # >0 overrides system.DENSE_INV_VEL_DOF_BUDGET: max velocity dofs of the multigrid leaf level (the only level holding an explicit dense inverse). Smaller budget = deeper hierarchy + cheaper leaf build (the host-staged inverse build is O(n³) through the remote tunnel — at the default 20k budget a fresh Nx=96 leaf costs hours; budget 6000 forces 96→48→24 and builds in minutes)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     projector_solver: str = "auto"    # auto|dense|cg — ∇u L2-projection mass solves: factorized-once dense (below 20k P1 dofs) or matrix-free lumped-Jacobi CG (mesh-independent iteration count; the only option at Nx≥192 where the dense P1 mass no longer fits HBM)
     psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki|ozaki_pallas (exact bf16-MXU slicing; _pallas keeps the one-hot in VMEM)|fused (whole stage — location+basis+reduction — as one Pallas kernel, adjoint/pallas_psrc.py; uniform no-hole grids, reference escape semantics)

@@ -446,7 +446,8 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
                       inner_tol: float = 1e-6, max_rounds: int = 4,
                       matvec_of: Callable = None,
                       pre: int = 2, post: int = 2,
-                      coarse_krylov: int = 0) -> MGSolveResult:
+                      coarse_krylov: int = 0,
+                      nu_scale: float = 1.0) -> MGSolveResult:
     """Mesh-robust replacement for the dense ``solve_operator`` (adjoint NS
     solve, ``OCP_dolfin.py:371``): mixed-precision FGMRES + two-grid block
     preconditioner.
@@ -463,11 +464,21 @@ def solve_operator_mg(op: Operator, op_c: Optional[Operator], mg: MGContext,
     needed (and only used) by legacy contexts carrying neither ``ainv_c``
     nor ``sub``; pass None otherwise and skip the coarse assembly.
     ``matvec_of`` (op → matvec) lets multi-chip callers swap in a
-    dof-sharded operator application (parallel/dof_sharding.py)."""
+    dof-sharded operator application (parallel/dof_sharding.py).
+
+    ``nu_scale`` = (operator's effective viscosity) / (hierarchy ν) — the
+    rung-scaling mechanism of ``make_block_preconditioner``. The ADJOINT
+    operator carries a UNIT Laplacian regardless of the config ν (the
+    reference quirk, ``OCP_dolfin.py:344``; ``forms.adjoint_cell_residual``
+    reproduces it), so adjoint callers at ν≠1 MUST pass 1/ν: the frozen
+    hierarchy is assembled at ν, and the un-scaled coarse correction /
+    Schur term are each off by 1/ν — at ν=0.01 that 100× mismatch stalled
+    the staged adjoint at rel res 5.2e-6 (round-3 r3j tail)."""
     b = apply_bc_vector(b, op.bc_dofs, bc_vals)
     M32 = make_block_preconditioner(mg, space_f, op, op_c,
                                     dtype=jnp.float32, pre=pre, post=post,
-                                    coarse_krylov=coarse_krylov)
+                                    coarse_krylov=coarse_krylov,
+                                    nu_scale=nu_scale)
     if matvec_of is not None:
         mv64 = matvec_of(op)
         mv32 = op_matvec(op, jnp.float32)

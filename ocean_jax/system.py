@@ -98,6 +98,11 @@ class OCPProblem:
     # they drop out of the cost, the adjoint point sources, and escape
     # counting (parallel/sharding.py::pad_buoys). None = all ones.
     buoy_weights: Optional[jnp.ndarray] = None
+    # preconditioned-Richardson sweeps per chord-Newton step on the
+    # reuse-LU fast path (solve/newton.py): each sweep costs one exact
+    # jvp + one solve32; fewer sweeps = cheaper steps but more of them
+    # (the newton_loop_glue A/B lever, BACKLOG "Perf 1")
+    newton_correction_iters: int = 3
     # problem-constant float32 LU factors of the STOKES (w=0) Jacobian —
     # the matrix every Newton solve factorizes first is control-
     # independent, so it is factorized ONCE here and the GD iteration
@@ -113,21 +118,22 @@ class OCPProblem:
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
                  self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu,
                  self.mg_pre, self.mg_post, self.newton_continuation,
-                 self.mg_coarse_krylov))
+                 self.mg_coarse_krylov, self.newton_correction_iters))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         *head, mg, grid, buoy_weights, fac0 = children
         (*scalars, linear_solver, adjoint_mode, ode_backend,
          adjoint_reuse_lu, mg_pre, mg_post, newton_continuation,
-         mg_coarse_krylov) = aux
+         mg_coarse_krylov, newton_correction_iters) = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
                    adjoint_mode=adjoint_mode, ode_backend=ode_backend,
                    grid=grid, adjoint_reuse_lu=adjoint_reuse_lu,
                    buoy_weights=buoy_weights, fac0=fac0,
                    mg_pre=mg_pre, mg_post=mg_post,
                    newton_continuation=newton_continuation,
-                   mg_coarse_krylov=mg_coarse_krylov)
+                   mg_coarse_krylov=mg_coarse_krylov,
+                   newton_correction_iters=newton_correction_iters)
 
     @property
     def K(self) -> int:
@@ -312,7 +318,9 @@ def build_problem(cfg: OCPConfig,
     if linear_solver == "mg":
         n_fine = (cfg.L_shape_resolution if cfg.L_shape
                   else cfg.unit_square_resolution)
-        mg_ctx = build_mg_hierarchy(cfg, space, bq, bc_dofs, n_fine)
+        budget = getattr(cfg, "mg_leaf_budget", 0) or None
+        mg_ctx = build_mg_hierarchy(cfg, space, bq, bc_dofs, n_fine,
+                                    budget=budget)
     else:
         # problem-constant Stokes LU: the first matrix every Newton solve
         # factorizes is J(w0=0) — control-independent — so factorize it
@@ -362,6 +370,7 @@ def build_problem(cfg: OCPConfig,
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
         refine_iters=cfg.refine_iters,
         newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
+        newton_correction_iters=getattr(cfg, "newton_correction_iters", 3),
         psrc_method=getattr(cfg, "psrc_method", "scatter"),
         mg=mg_ctx, linear_solver=linear_solver,
         mg_pre=getattr(cfg, "mg_pre", 2),
@@ -539,6 +548,8 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
     return newton_solve(residual, operator, w_start,
                         prob.bc_dofs, prob.bc_vals,
                         reuse_factorization=prob.newton_reuse_lu,
+                        correction_iters=getattr(
+                            prob, "newton_correction_iters", 3),
                         fac0=prob.fac0)
 
 
@@ -680,10 +691,16 @@ def _solve_adjoint_flagged(prob: OCPProblem, fwd: ForwardState,
     b = adjoint_rhs(prob, fwd, adjoint_rhs_impl=adjoint_rhs_impl)
     op, op_c = adjoint_operators(prob, fwd.w)
     if prob.linear_solver == "mg":
+        # the adjoint operator's Laplacian is UNIT-viscosity (the
+        # reference quirk, OCP_dolfin.py:344) while the frozen hierarchy
+        # is assembled at ν — the adjoint solve is "a continuation rung
+        # at ν=1", so the rung-scaling nu_scale = 1/ν applies (at ν=1
+        # this is the static 1.0 fast path, bit-identical)
         sol = mg_mod.solve_operator_mg(
             op, op_c, prob.mg, prob.space, b, prob.bc_vals,
             matvec_of=matvec_of, pre=prob.mg_pre, post=prob.mg_post,
-            coarse_krylov=getattr(prob, "mg_coarse_krylov", 0))
+            coarse_krylov=getattr(prob, "mg_coarse_krylov", 0),
+            nu_scale=1.0 / prob.nu)
         return sol.x, sol.converged
     if prob.adjoint_reuse_lu and fwd.newton.fac is not None:
         # one factorization per GD iteration: the Newton solve's float32
@@ -1101,10 +1118,14 @@ def make_adjoint_stager(prob: OCPProblem, adjoint_rhs_impl=None,
                 jnp.linalg.norm(b))
 
     def _round(p, op, op_c, b, x):
+        # nu_scale = 1/ν: the adjoint operator's Laplacian is unit-
+        # viscosity (OCP_dolfin.py:344 quirk) while the hierarchy is
+        # frozen at ν — see solve_operator_mg. At ν=1: static no-op.
         M32 = mg_mod.make_block_preconditioner(
             p.mg, p.space, op, op_c, dtype=jnp.float32,
             pre=p.mg_pre, post=p.mg_post,
-            coarse_krylov=getattr(p, "mg_coarse_krylov", 0))
+            coarse_krylov=getattr(p, "mg_coarse_krylov", 0),
+            nu_scale=1.0 / p.nu)
         if matvec_of is not None:
             mv64 = matvec_of(op)
             mv32 = mg_mod.op_matvec(op, jnp.float32)

@@ -254,6 +254,12 @@ def main():
                          "FGMRES(k) on the state-assembled coarse "
                          "operator); needed at ν=0.01 where the frozen "
                          "Stokes coarse V-cycle stalls warm Newton")
+    ap.add_argument("--mg-leaf-budget", type=int, default=0,
+                    help="max velocity dofs of the mg leaf level (0 = "
+                         "default 20k); smaller forces a deeper hierarchy "
+                         "with a cheaper leaf-inverse build (Nx=96 at a "
+                         "fresh ν needs this — the 20k-budget leaf build "
+                         "is an hours-long host-staged inverse)")
     ap.add_argument("--newton-continuation", type=int, default=0,
                     help="viscosity-continuation rungs (vanilla Newton "
                          "from w=0 diverges below ν≈0.02; 4 rungs reach "
@@ -370,6 +376,7 @@ def main():
                         linear_solver="mg", viscosity=args.viscosity,
                         mg_pre=args.mg_pre, mg_post=args.mg_post,
                         mg_coarse_krylov=args.mg_coarse_krylov,
+                        mg_leaf_budget=args.mg_leaf_budget,
                         newton_continuation=args.newton_continuation)
         t0 = time.time()
         prob = sys_mod.build_problem(cfg)

@@ -214,6 +214,51 @@ def test_auto_solver_selection():
     assert big.mg.space_c.ndof < big.space.ndof
 
 
+def test_mg_adjoint_low_viscosity_scaling():
+    """ν=0.01 (the 10_buoys golden viscosity): the adjoint operator's
+    Laplacian is UNIT-viscosity (OCP_dolfin.py:344 quirk) while the mg
+    hierarchy is frozen at ν — without the nu_scale=1/ν correction the
+    coarse correction is 100× too big and the Schur term 100× too small,
+    which stalled the hardware run at rel res 5.2e-6 (r3j tail). With the
+    correction both the in-program mg adjoint and the staged production
+    path must converge and match the dense direct solve.
+
+    Note the primal mg Newton at Nx=16 ν=0.01 stalls by design (cell
+    Péclet ≈ 20, test_continuation.py) — but the ADJOINT operator's unit
+    Laplacian puts its Péclet at ~|w|·h ≈ 0.7, so the adjoint mg solve is
+    well-posed here; the forward state comes from the exact dense
+    anchor."""
+    rng = np.random.default_rng(7)
+    K = 4
+    cfg = OCPConfig(unit_square_resolution=16, ud_experiment="4_buoys",
+                    T=0.05, dt=0.005, viscosity=0.01,
+                    newton_continuation=6, linear_solver="dense")
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    x0 = 0.3 + 1.4 * rng.random((K, 2))
+    pd = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    pm = sys_mod.build_problem(
+        dataclasses.replace(cfg, linear_solver="mg"), u_d=u_d, x0=x0)
+    f = sys_mod.initial_control(pd, case=0)
+
+    fwd = sys_mod.forward(pd, f.quad)
+    assert bool(fwd.newton.converged)
+    assert float(jnp.max(jnp.abs(fwd.w))) > 3.0   # genuinely strong flow
+    zd = sys_mod.solve_adjoint(pd, fwd)
+
+    zm, ok = sys_mod._solve_adjoint_flagged(pm, fwd)
+    assert bool(ok), "mg adjoint FGMRES did not converge at nu=0.01"
+    scale = float(jnp.max(jnp.abs(zd)))
+    assert float(jnp.max(jnp.abs(zd - zm))) < 1e-9 * max(scale, 1.0)
+
+    # the staged production path (one program per refinement round —
+    # what scripts/hires_mg_run.py drives on hardware)
+    stager = sys_mod.make_adjoint_stager(pm)
+    zs, _, _, _, ok_s = sys_mod.run_adjoint_staged(stager, f, fwd,
+                                                   max_rounds=6)
+    assert bool(ok_s), "staged mg adjoint stalled at nu=0.01"
+    assert float(jnp.max(jnp.abs(zd - zs))) < 1e-9 * max(scale, 1.0)
+
+
 def test_mg_coarse_krylov_parity(pair16):
     """``mg_coarse_krylov`` (convection-aware coarse correction,
     solve/mg.py) is a preconditioner-only change: the full GD iteration
