@@ -32,9 +32,14 @@ structurally: the patch weights are the SAME closed-form P2 basis the
 primal/eval kernels use for interpolation, and the image→dof map is the
 exact transpose of ``grideval.velocity_to_grid``.
 
-Gating: uniform structured grids without holes (same envelope as the
-primal Pallas kernel); reference escape semantics only (``active_t``
-callers stay on the XLA reductions).
+Gating: reference escape semantics only (``active_t`` callers stay on the
+XLA reductions). Domain coverage matches the primal Pallas kernel:
+uniform square/L-shape plus graded tensor meshes (in-kernel ds-exact
+searchsorted over the shared ``_lines_planes`` table) and hole domains —
+hole interiors need no in-kernel handling because every γ≠0 point lies in
+an active cell (an escaped buoy's lanes are zeroed before the kernel and
+its in-hole image contributions are dropped by the ``dof_to_node`` gather,
+which only addresses existing dofs).
 """
 
 from __future__ import annotations
@@ -49,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import doublesingle as ds
 from ..ode.grideval import GridEval
-from ..ode.pallas_ode import (_patch_weights_ds,
+from ..ode.pallas_ode import (_patch_weights_ds, _make_graded_axis,
+                              _lines_planes,
                               _register_mosaic_barrier_lowering)
 
 _register_mosaic_barrier_lowering()
@@ -58,10 +64,14 @@ _CHUNK = 1024
 _SLICES = 6
 
 
-def _make_psrc_kernel(loc, Hy: int, Hxp: int, chunk: int, slices: int):
+def _make_psrc_kernel(loc, Hy: int, Hxp: int, chunk: int, slices: int,
+                      Lp: int = 0):
     """Kernel body with geometry constants baked in. Grid is 1-D over
-    point chunks; the hi/lo image accumulators are revisited every step."""
+    point chunks; the hi/lo image accumulators are revisited every step.
+    ``Lp`` is the padded grid-line-table extent for graded tensor meshes
+    (0 = uniform closed-form location), as in the primal/eval kernels."""
     nx, ny = loc.grid_shape
+    graded = not loc.uniform
     x0c, y0c = ds.const(loc.origin[0]), ds.const(loc.origin[1])
     hxc, hyc = ds.const(loc.spacing[0]), ds.const(loc.spacing[1])
     xmin, ymin, xmax, ymax = loc.extent
@@ -74,7 +84,12 @@ def _make_psrc_kernel(loc, Hy: int, Hxp: int, chunk: int, slices: int):
         cy_proj = ds.const(loc.lshape_corner[1] - 0.5 * loc.spacing[1])
     diagonal = loc.diagonal
 
-    def kernel(p_hi_ref, p_lo_ref, g_hi_ref, g_lo_ref, hi_ref, lo_ref):
+    def kernel(*refs):
+        it_refs = iter(refs)
+        p_hi_ref, p_lo_ref, g_hi_ref, g_lo_ref = (
+            next(it_refs) for _ in range(4))
+        lines_ref = next(it_refs) if graded else None
+        hi_ref, lo_ref = next(it_refs), next(it_refs)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -107,8 +122,14 @@ def _make_psrc_kernel(loc, Hy: int, Hxp: int, chunk: int, slices: int):
             s = ds.add_f32(frac, ixf - d)
             return d.astype(jnp.int32), s
 
-        ix, s = axis_coords(pcx, x0c, hxc, nx)
-        iy, t = axis_coords(pcy, y0c, hyc, ny)
+        if graded:
+            coords_x, coords_y = _make_graded_axis(lines_ref, Lp, chunk,
+                                                   nx, ny)
+            ix, s = coords_x(pcx)
+            iy, t = coords_y(pcy)
+        else:
+            ix, s = axis_coords(pcx, x0c, hxc, nx)
+            iy, t = axis_coords(pcy, y0c, hyc, ny)
         W, _ = _patch_weights_ds(s, t, diagonal)
 
         iota_y = jax.lax.broadcasted_iota(jnp.int32, (Hy, chunk), 0)
@@ -186,21 +207,29 @@ def _run_psrc(grid: GridEval, points: jnp.ndarray, gamma: jnp.ndarray,
     g_hi = r.astype(jnp.float32).T
     g_lo = (r - g_hi.T.astype(jnp.float64)).astype(jnp.float32).T
 
-    kernel = _make_psrc_kernel(loc, Hy, Hxp, _CHUNK, slices)
+    nx, ny = loc.grid_shape
+    graded = not loc.uniform
+    Lp = _round_up(max(nx, ny) + 1, 8) if graded else 0
+    kernel = _make_psrc_kernel(loc, Hy, Hxp, _CHUNK, slices, Lp)
     zero = np.int32(0)
     pt_spec = pl.BlockSpec((2, _CHUNK), lambda i: (zero, i),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((Hy, 2 * slices * Hxp), lambda i: (zero, zero),
                             memory_space=pltpu.VMEM)
+    extra_inputs, extra_specs = [], []
+    if graded:
+        extra_inputs.append(_lines_planes(loc, Lp))
+        extra_specs.append(pl.BlockSpec((Lp, 128), lambda i: (zero, zero),
+                                        memory_space=pltpu.VMEM))
     hi, lo = pl.pallas_call(
         kernel,
         grid=(Mpad // _CHUNK,),
-        in_specs=[pt_spec, pt_spec, pt_spec, pt_spec],
+        in_specs=[pt_spec, pt_spec, pt_spec, pt_spec] + extra_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((Hy, 2 * slices * Hxp),
                                         jnp.float32)] * 2,
         interpret=interpret,
-    )(p_hi, p_lo, g_hi, g_lo)
+    )(p_hi, p_lo, g_hi, g_lo, *extra_inputs)
     # interpret-mode guard: stop XLA:CPU from re-associating the TwoSum
     hi, lo = jax.lax.optimization_barrier((hi, lo))
 
@@ -229,14 +258,6 @@ def point_source_image_pallas(grid: GridEval, points: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    loc = grid.locator
-    if loc.hole is not None:
-        raise NotImplementedError(
-            "fused point-source kernel does not support hole domains")
-    if not loc.uniform:
-        raise NotImplementedError(
-            "fused point-source kernel needs a uniform grid; graded "
-            "tensor meshes use the XLA reductions")
     runner = _run_psrc if interpret else _run_psrc_jit
     return runner(grid, points.reshape(-1, 2), gamma.reshape(-1, 2),
                   interpret=bool(interpret))

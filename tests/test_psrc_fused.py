@@ -111,6 +111,51 @@ def test_fused_transpose_identity():
     assert np.isclose(lhs, rhs, rtol=max(_TOL, 1e-10))
 
 
+def test_fused_matches_scatter_graded():
+    """Graded tensor mesh (gen-1 pipe capability,
+    old_dolfinx_files/mesh_init.py:145-165): the fused kernel locates
+    through the in-kernel ds-exact searchsorted (shared with the primal
+    ODE kernel) and matches the f64 scatter path."""
+    from ocean_jax.mesh import structured
+    mesh, _ = structured.pipe_mesh(obstacle=False, graded=True,
+                                   lc_min=0.08, lc_max=0.3)
+    space = make_space(mesh)
+    grid = make_grideval(space)
+    rng = np.random.default_rng(17)
+    u, x, uv, mu, u_d, mask, center, h = _system_consistent_inputs(
+        space, rng, K=7, nt=25)
+    b_ref = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                             method="scatter")
+    b_fused = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                               method="fused", grid=grid, u_values=uv)
+    scale = float(jnp.abs(b_ref).max())
+    assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
+
+
+def test_fused_matches_scatter_hole():
+    """Obstacle (hole) domain: every γ≠0 point lies in an active cell
+    (reference invariant — an escaped buoy's lanes are zeroed), so the
+    kernel needs no in-hole handling; in-hole image nodes are dropped by
+    the dof_to_node gather. The masked buoy parked at the center and the
+    unmasked trajectories away from the (0.2, 0.2) r=0.05 obstacle must
+    both match the scatter path."""
+    from ocean_jax.mesh import structured
+    mesh, _ = structured.pipe_mesh(resolution=12, obstacle=True)
+    space = make_space(mesh)
+    grid = make_grideval(space)
+    assert space.locator.hole is not None
+    rng = np.random.default_rng(19)
+    # trajectories in [0.5, 1.8]²: inside the pipe, clear of the obstacle
+    u, x, uv, mu, u_d, mask, center, h = _system_consistent_inputs(
+        space, rng, K=8, nt=25, lo=0.5, hi=1.8)
+    b_ref = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                             method="scatter")
+    b_fused = point_source_rhs(space, u, x, mu, u_d, mask, h, center,
+                               method="fused", grid=grid, u_values=uv)
+    scale = float(jnp.abs(b_ref).max())
+    assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
+
+
 def test_fused_gating():
     space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 4, 4))
     grid = make_grideval(space)
