@@ -1034,7 +1034,8 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
                       atol: float = 1e-10, max_iter: int = 50,
                       polish: int = 1, step_tol: float = 1e-6,
                       sync=None, max_refreeze: int = 0,
-                      stall_ratio: float = 0.5, on_step=None):
+                      stall_ratio: float = 0.5, on_step=None,
+                      stagnation_break: int = 0):
     """Drive the stepped Newton from the host — the ``newton_solve_mg``
     loop with one device program per step. Returns (w, it, rnorm,
     converged). ``sync``: optional callable forcing a host transfer after
@@ -1048,13 +1049,22 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
     ``mg_coarse_krylov`` > 0, the coarse linearization the inner Krylov
     solves. 0 = off (the ν=1 production paths stay bit-identical).
     ``on_step(it, rn, event)``: per-step observability callback
-    (event ∈ {"", "refreeze"})."""
+    (event ∈ {"", "refreeze"}).
+
+    ``stagnation_break`` > 0: give up after that many CONSECUTIVE steps
+    contracting by less than 3% — a flatlined Newton (the ν=0.01 warm
+    line-search probe pins at rn≈6e-2 with ~1.000/step; observed r4a)
+    cannot recover within any cap, and each wasted step is a full
+    FGMRES program. Legitimate slow solves (r3h's 0.78/step) never
+    trigger. 0 = off. The caller sees converged=False and applies its
+    own fallback (the staged runner's cold-ladder retry)."""
     nu_t = jnp.asarray(float(nu))
     sc_t = jnp.asarray(float(nu_scale))
     op0, op0_c, r, rn_dev = stager.init(f_quad, w0, nu_t)
     r0norm = rn = float(rn_dev)
     w, it = w0, 0
     refrozen = 0
+    flat = 0
     while rn > atol and rn > rtol * r0norm and it < max_iter:
         prev = rn
         w, r, rn_dev = stager.step(f_quad, w, r, jnp.asarray(rn), op0,
@@ -1066,6 +1076,9 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
             on_step(it, rn, "")
         if sync is not None:
             sync(w)
+        flat = flat + 1 if rn > 0.97 * prev else 0
+        if stagnation_break and flat >= stagnation_break:
+            return w, it, rn, False
         if (refrozen < max_refreeze and rn > stall_ratio * prev
                 and rn > atol and rn > rtol * r0norm):
             op0, op0_c, r, rn_dev = stager.init(f_quad, w, nu_t)

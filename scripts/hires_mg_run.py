@@ -25,6 +25,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compile cache (same as bench.py — verified working
+# through the axon tunnel): the staged hires programs cost 100-970 s of
+# first-program compilation per resolution; cached reruns/crash-resumes
+# skip straight to execution. setdefault so an explicit env wins.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 OUT = "results/hires_mg"
 
 
@@ -60,7 +70,7 @@ def run_gd(prob, f, lr, iters, fh, tag, line_search=False):
 def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                   line_search=False, cfg=None, adj_max_rounds=4,
                   newton_max_iter=50, newton_refreeze=0,
-                  log_newton_steps=False):
+                  log_newton_steps=False, conv_crit=0.0):
     """Stage-separated GD iteration (forward / adjoint / update as three
     XLA programs). The fused Nx=64 gd_step reproducibly crashes the
     remote-compile worker (known large-HLO failure mode); the staged path
@@ -129,27 +139,36 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                         max_refreeze=newton_refreeze)
                     log(f"{tag}: rung {k} nu={ratio**k:.4g} "
                         f"newton={rit} ({time.time()-t0:.1f}s)", fh)
+            # stagnation_break: a flatlined solve (ν=0.01 warm probes pin
+            # at rn≈6e-2, ~1.000/step) bails after 8 flat steps instead
+            # of crawling to the cap — the caller's cold-ladder retry is
+            # the productive fallback (observed r4a: 90 wasted programs)
             w, nit, rn, conv = sys_mod.run_newton_staged(
                 stager, f_.quad, w, prob.nu, sync=sync,
                 max_iter=newton_max_iter, max_refreeze=newton_refreeze,
-                on_step=on_step)
+                on_step=on_step, stagnation_break=8)
             return stager.finish(f_.quad, w, jnp.asarray(nit),
                                  jnp.asarray(rn), jnp.asarray(conv))
 
         fwd, j_dev = forward(f)
 
+        # Warm-start line-search probes from the accepted state only
+        # above ν≈0.05: at the ν=0.01 golden viscosity EVERY warm probe
+        # stalls (r4a observation — rn pinned at 6.3e-2 / 8.2e-3 with
+        # ~1.000/step, while the cold ladder converges in ~9 steps to
+        # 7.8e-11; the frozen Stokes leaf misses the convection the
+        # perturbed control introduces), so the warm attempt is pure
+        # waste there — go straight to the ladder.
+        warm_ok = ladder and prob.nu >= 0.05
+
         def probe(f_, g_, lr_):
             f_new = stager.axpy(f_, g_, jnp.asarray(lr_))
-            # warm start from the accepted state on ladder configs (the
-            # accepted w is already in the strong solution's basin);
-            # cold reference-exact start otherwise
             fwd_new, j_new_dev = forward(
-                f_new, w_warm=(fwd.w if ladder else None))
-            if ladder and not bool(fwd_new.newton.converged):
-                # warm Newton can stall at strong convection (ν=0.01
-                # Nx=64: residual pinned at 3.6e-2 after a control
-                # perturbation) — retry through the full continuation
-                # ladder, which re-finds the new control's basin
+                f_new, w_warm=(fwd.w if warm_ok else None))
+            if warm_ok and not bool(fwd_new.newton.converged):
+                # warm Newton can stall at strong convection — retry
+                # through the full continuation ladder, which re-finds
+                # the new control's basin
                 log(f"{tag}: warm probe stalled (rn="
                     f"{float(fwd_new.newton.residual_norm):.3e}); "
                     "cold-ladder retry", fh)
@@ -218,6 +237,14 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                      times=np.asarray(times),
                      newton_iters=np.asarray(newton_iters),
                      lr=np.asarray(lr))
+        # reference convergence exit (OCP_dolfin.py:444-446): after the
+        # 6th iteration, stop once consecutive recorded Js differ by
+        # less than conv_crit
+        if (conv_crit > 0 and i > 5
+                and abs(js[-1] - js[-2]) < conv_crit):
+            log(f"{tag}: converged at it={i} "
+                f"(|dJ|={abs(js[-1] - js[-2]):.3e} < {conv_crit:g})", fh)
+            break
     return js, times, newton_iters
 
 
@@ -254,6 +281,10 @@ def main():
                          "FGMRES(k) on the state-assembled coarse "
                          "operator); needed at ν=0.01 where the frozen "
                          "Stokes coarse V-cycle stalls warm Newton")
+    ap.add_argument("--conv-crit", type=float, default=0.0,
+                    help="reference convergence exit |dJ| < crit after "
+                         "iteration 5 (OCP_dolfin.py:444-446); 0 = run "
+                         "--iters iterations. Tags the run '<tag>_conv'")
     ap.add_argument("--mg-leaf-budget", type=int, default=0,
                     help="max velocity dofs of the mg leaf level (0 = "
                          "default 20k); smaller forces a deeper hierarchy "
@@ -370,6 +401,8 @@ def main():
                else f"nx{nx}_nu{args.viscosity:g}")
         if (args.mg_pre, args.mg_post) != (2, 2):
             tag += f"_s{args.mg_pre}{args.mg_post}"
+        if args.conv_crit > 0:
+            tag += "_conv"
         cfg = OCPConfig(ud_experiment="400_buoys",
                         unit_square_resolution=nx,
                         use_line_search=False, num_steps=args.iters,
@@ -396,7 +429,8 @@ def main():
                 adj_max_rounds=args.adj_max_rounds,
                 newton_max_iter=args.newton_max_iter,
                 newton_refreeze=args.newton_refreeze,
-                log_newton_steps=args.log_newton_steps)
+                log_newton_steps=args.log_newton_steps,
+                conv_crit=args.conv_crit)
         else:
             js, times, nit = run_gd(prob, f, jnp.asarray(args.lr),
                                     args.iters, fh, tag,
@@ -416,8 +450,16 @@ def main():
             "J": js, "descended": bool(js[-1] < js[0]),
             "seconds_per_iter": times,
             "newton_iterations": nit,
-            "steady_state_seconds": float(np.median(times[1:])),
+            "steady_state_seconds": float(np.median(times[1:]))
+            if len(times) > 1 else times[0],
         }
+        if len(times) > 1:
+            summary["runs"][tag]["first_iter_over_steady"] = float(
+                times[0] / np.median(times[1:]))
+        if args.conv_crit > 0:
+            summary["runs"][tag]["conv_crit"] = args.conv_crit
+            summary["runs"][tag]["converged_by_crit"] = bool(
+                len(js) >= 2 and abs(js[-1] - js[-2]) < args.conv_crit)
 
     with open(os.path.join(OUT, "summary.json"), "w") as sf:
         json.dump(summary, sf, indent=2)
