@@ -133,12 +133,25 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                 ratio = (prob.nu / 1.0) ** (1.0 / (n_rungs + 1))
                 for k in range(n_rungs + 1):
                     t0 = time.time()
-                    w, rit, _, _ = sys_mod.run_newton_staged(
+                    w, rit, rrn, rconv = sys_mod.run_newton_staged(
                         stager, f_.quad, w, ratio ** k,
                         nu_scale=ratio ** k / prob.nu, sync=sync,
-                        max_refreeze=newton_refreeze)
+                        max_refreeze=newton_refreeze, stagnation_break=8)
                     log(f"{tag}: rung {k} nu={ratio**k:.4g} "
                         f"newton={rit} ({time.time()-t0:.1f}s)", fh)
+                    if not rconv and rrn > 1e-3:
+                        # A flatlined rung poisons every rung below it
+                        # (r4a nx96 it=0 probe at lr=1: rungs 4-6 crawl
+                        # to the cap at rn≈1e1 for ~11 min and the final
+                        # solve flatlines anyway). Fail the probe fast —
+                        # the caller's Armijo loop shrinks LR. The rn
+                        # guard keeps slow-but-productive rungs (r3h's
+                        # 0.78/step to 1.3e-8) on the ladder.
+                        log(f"{tag}: rung {k} flatlined (rn="
+                            f"{rrn:.3e}); abandoning probe", fh)
+                        return stager.finish(
+                            f_.quad, w, jnp.asarray(rit),
+                            jnp.asarray(rrn), jnp.asarray(False))
             # stagnation_break: a flatlined solve (ν=0.01 warm probes pin
             # at rn≈6e-2, ~1.000/step) bails after 8 flat steps instead
             # of crawling to the cap — the caller's cold-ladder retry is
