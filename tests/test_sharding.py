@@ -205,3 +205,34 @@ def test_sharded_fgmres_integration(tiny_problem):
                         restart=120, max_restarts=10, tol=1e-10)
     assert bool(res.converged), float(res.residual_norm)
     assert np.allclose(np.asarray(res.x), np.asarray(x_direct), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_step_2d_above_toy_size():
+    """VERDICT r3 item 6: 2-D dof-sharding numerics above Nx=24 — the
+    Nx=48 mg path (21.2k dofs, where cell sharding starts to carry real
+    per-shard work) reproduces the single-device gd_step. Perf shape on
+    the virtual mesh is recorded by scripts/sharded_2d_cpu_probe.py
+    (results/bench_stages/sharded_2d_cpu.json); this test pins the
+    numerics-invariance half. Opt-in: ``pytest -m slow``."""
+    from ocean_jax.parallel import make_2d_mesh, make_sharded_step_2d
+    rng = np.random.default_rng(5)
+    K = 16
+    cfg = OCPConfig(unit_square_resolution=48, ud_experiment=f"{K}_buoys",
+                    T=0.05, dt=0.005, linear_solver="mg")
+    seeds = 0.3 + 1.4 * rng.random((K, 2))
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
+    f = sys_mod.initial_control(prob, case=4)
+    lr = jnp.asarray(1.0)
+
+    ref = sys_mod.gd_step(prob, f, lr, use_line_search=False)
+
+    step = make_sharded_step_2d(prob, make_2d_mesh(4, 2))
+    fq, fp2, lr2, j, escaped, diverged = step(f.quad, f.p2, lr)
+
+    assert not bool(diverged)
+    assert np.isclose(float(j), float(ref.J), rtol=1e-9)
+    assert np.allclose(np.asarray(fq), np.asarray(ref.f_new.quad),
+                       atol=1e-9)
+    assert float(escaped) == float(ref.fwd.mask.sum())
