@@ -228,7 +228,12 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
             for inner in range(15):
                 f_c, fwd_c, j_dev = probe(f, g, lr)
                 j_new = float(j_dev)
-                if j_old - j_new >= lr * cond:
+                # a non-converged probe's J is evaluated at a garbage
+                # Newton state — never accept it even if it happens to
+                # satisfy Armijo (the flatlined big-LR ν=0.01 probes
+                # return rn≈1e1 states); shrink LR like a failed probe
+                if bool(fwd_c.newton.converged) and \
+                        j_old - j_new >= lr * cond:
                     break
                 new_lr = max(tau * lr, lr_min)
                 if new_lr == lr:
@@ -236,6 +241,10 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                     # solve (same early-accept as opt/driver.py)
                     break
                 lr = new_lr
+            assert bool(fwd_c.newton.converged), (
+                f"{tag}: line search exhausted at iteration {i} with a "
+                f"non-converged probe (lr={lr:g}, rn="
+                f"{float(fwd_c.newton.residual_norm):.3e})")
             log(f"{tag} it={i} line search accepted lr={lr:g} "
                 f"({inner + 1} probes)", fh)
         else:
