@@ -44,7 +44,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 BASELINE_SECONDS = 1500.0          # reference CPU, K=10^4 (BASELINE.md)
 K_EXPERIMENT = "10000_buoys"
 # reference CPU seconds per GD iteration by buoy count
-K_BASELINES = {"100_buoys": 11.98, "400_buoys": 77.82,
+# (plotting/histogram_plotting.py:9-10 — incl. the K=10 latency floor,
+# the one cell where the serial CPU's 0.10 s beats a remote-chip
+# iteration's fixed program overhead)
+K_BASELINES = {"10_buoys": 0.10, "100_buoys": 11.98, "400_buoys": 77.82,
                "10000_buoys": 1500.0}
 
 
