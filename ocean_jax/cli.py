@@ -83,6 +83,12 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
                    help="viscosity-continuation rungs for the forward "
                         "Newton solve (vanilla Newton diverges below "
                         "ν≈0.02; 6 rungs reach the ν=0.01 golden regime)")
+    p.add_argument("--newton-chord-f32", action="store_true",
+                   default=defaults.newton_chord_f32,
+                   help="native-f32 chord-correction sweeps on the "
+                        "reuse-LU path (f64 convergence test unchanged; "
+                        "TPU f64 is emulated, so the sweeps are the "
+                        "newton_loop_glue hot spot)")
     return p
 
 
@@ -128,4 +134,5 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         mg_coarse_krylov=args.mg_coarse_krylov,
         mg_leaf_budget=args.mg_leaf_budget,
         newton_continuation=args.newton_continuation,
+        newton_chord_f32=args.newton_chord_f32,
     )

@@ -75,6 +75,7 @@ class OCPConfig:
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
     newton_correction_iters: int = 3  # Richardson correction sweeps per chord-Newton step on the reuse-LU path (each = one exact jvp + one solve32; fewer sweeps = cheaper steps but more of them)
+    newton_chord_f32: bool = False  # run chord-correction sweeps in native f32 (TPU f64 is emulated; step quality is Richardson-limited ~1e-3, so the f64 convergence test is unaffected)
     dense_apply: str = "lu"           # lu|inverse — float32 preconditioner application on the dense path: sequential triangular solves, or one chunked-trsm explicit inverse whose every apply is a single MXU matmul
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)
     mg_matvec: str = "stencil"        # stencil|scatter — Krylov/smoother operator application: offset-stencil images (structured-grid fast path, ops/stencil.py) or element scatter-add

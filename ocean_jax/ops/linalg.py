@@ -45,6 +45,12 @@ class LUSolver:
         return jsl.lu_solve((self.lu, self.piv),
                             b.astype(jnp.float32)).astype(jnp.float64)
 
+    def solve32_raw(self, b: jnp.ndarray) -> jnp.ndarray:
+        """As ``solve32`` but keeps the float32 result — for all-f32
+        chord-correction loops where the f64 round-trip is pure
+        emulated-arithmetic overhead."""
+        return jsl.lu_solve((self.lu, self.piv), b.astype(jnp.float32))
+
     def solve32_t(self, b: jnp.ndarray) -> jnp.ndarray:
         """Solve Aᵀ x = b through the SAME factors (trans=1): one LU
         factorization serves both the primal operator and its transpose —
@@ -95,6 +101,10 @@ class InvSolver:
 
     def solve32(self, b: jnp.ndarray) -> jnp.ndarray:
         return (self.ainv @ b.astype(jnp.float32)).astype(jnp.float64)
+
+    def solve32_raw(self, b: jnp.ndarray) -> jnp.ndarray:
+        """One MXU matmul, float32 in/out (see ``LUSolver.solve32_raw``)."""
+        return self.ainv @ b.astype(jnp.float32)
 
     def solve32_t(self, b: jnp.ndarray) -> jnp.ndarray:
         """(Aᵀ)⁻¹ b = A⁻ᵀ b — transposed-matmul apply (same products

@@ -103,6 +103,13 @@ class OCPProblem:
     # jvp + one solve32; fewer sweeps = cheaper steps but more of them
     # (the newton_loop_glue A/B lever, BACKLOG "Perf 1")
     newton_correction_iters: int = 3
+    # run the chord-correction sweeps in native float32 (solve/newton.py
+    # ``residual_fn32``): the polished step is Richardson-limited at
+    # ~1e-3 relative, three decades above f32 roundoff, while TPU f64 is
+    # software-emulated — the convergence test stays exact-f64 either
+    # way. Off by default pending the hardware drift/timing A/B
+    # (scripts/correction_ab.py).
+    newton_chord_f32: bool = False
     # problem-constant float32 LU factors of the STOKES (w=0) Jacobian —
     # the matrix every Newton solve factorizes first is control-
     # independent, so it is factorized ONCE here and the GD iteration
@@ -118,14 +125,16 @@ class OCPProblem:
                  self.newton_reuse_lu, self.psrc_method, self.linear_solver,
                  self.adjoint_mode, self.ode_backend, self.adjoint_reuse_lu,
                  self.mg_pre, self.mg_post, self.newton_continuation,
-                 self.mg_coarse_krylov, self.newton_correction_iters))
+                 self.mg_coarse_krylov, self.newton_correction_iters,
+                 self.newton_chord_f32))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         *head, mg, grid, buoy_weights, fac0 = children
         (*scalars, linear_solver, adjoint_mode, ode_backend,
          adjoint_reuse_lu, mg_pre, mg_post, newton_continuation,
-         mg_coarse_krylov, newton_correction_iters) = aux
+         mg_coarse_krylov, newton_correction_iters,
+         newton_chord_f32) = aux
         return cls(*head, *scalars, mg=mg, linear_solver=linear_solver,
                    adjoint_mode=adjoint_mode, ode_backend=ode_backend,
                    grid=grid, adjoint_reuse_lu=adjoint_reuse_lu,
@@ -133,7 +142,8 @@ class OCPProblem:
                    mg_pre=mg_pre, mg_post=mg_post,
                    newton_continuation=newton_continuation,
                    mg_coarse_krylov=mg_coarse_krylov,
-                   newton_correction_iters=newton_correction_iters)
+                   newton_correction_iters=newton_correction_iters,
+                   newton_chord_f32=newton_chord_f32)
 
     @property
     def K(self) -> int:
@@ -371,6 +381,7 @@ def build_problem(cfg: OCPConfig,
         refine_iters=cfg.refine_iters,
         newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
         newton_correction_iters=getattr(cfg, "newton_correction_iters", 3),
+        newton_chord_f32=getattr(cfg, "newton_chord_f32", False),
         psrc_method=getattr(cfg, "psrc_method", "scatter"),
         mg=mg_ctx, linear_solver=linear_solver,
         mg_pre=getattr(cfg, "mg_pre", 2),
@@ -545,12 +556,27 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
         # stale-factor corrections can diverge; factorize J(w_start)
         return newton_solve(residual, operator, w_start,
                             prob.bc_dofs, prob.bc_vals)
+    residual32 = None
+    if getattr(prob, "newton_chord_f32", False) and prob.newton_reuse_lu:
+        # float32 twins of the basis/geometry tables, cast in-program
+        # (never close over the problem pytree — BACKLOG platform fact
+        # 1); one pass over a few MB, amortized across the chord loop
+        cast32 = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        space32, bq32 = cast32(prob.space), cast32(prob.bq)
+        f_quad32 = f_quad.astype(jnp.float32)
+
+        def residual32(w32):
+            return assemble.ns_residual(space32, bq32, w32, f_quad32,
+                                        prob.nu)
+
     return newton_solve(residual, operator, w_start,
                         prob.bc_dofs, prob.bc_vals,
                         reuse_factorization=prob.newton_reuse_lu,
                         correction_iters=getattr(
                             prob, "newton_correction_iters", 3),
-                        fac0=prob.fac0)
+                        fac0=prob.fac0, residual_fn32=residual32)
 
 
 solve_ns = jax.jit(_solve_ns, static_argnames=("matvec_of",))

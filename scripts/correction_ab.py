@@ -39,15 +39,22 @@ def main():
     for k_exp in ("10000_buoys", "100_buoys"):
         cfg, prob, f, lr = bench._build(k_exp)
         ref = None
-        for ci in (3, 2, 1):
-            p = dataclasses.replace(prob, newton_correction_iters=ci)
+        # (ci, chord_f32): f64 sweep count A/B, then the native-f32
+        # chord sweeps (solve/newton.py residual_fn32 — the f64
+        # convergence test is identical, so converged states agree to
+        # ~the 1e-9·r0 stopping threshold, not to 1e-12)
+        for ci, f32 in ((3, False), (2, False), (1, False),
+                        (3, True), (1, True)):
+            p = dataclasses.replace(prob, newton_correction_iters=ci,
+                                    newton_chord_f32=f32)
 
             def step(fc):
                 return sys_mod.gd_step(p, fc, lr, use_line_search=False)
 
             res = step(f)
             j = float(res.J)
-            assert not bool(res.diverged), (k_exp, ci)
+            tag = f"{k_exp}_ci{ci}" + ("_f32" if f32 else "")
+            assert not bool(res.diverged), tag
             t = bench._timeit(lambda fc: step(fc).J, f)
             fq = np.asarray(res.f_new.quad)
             nit = int(res.fwd.newton.iterations)
@@ -60,9 +67,16 @@ def main():
                             / max(np.max(np.abs(ref[1])), 1e-30))
                 rec["rel_J_drift_vs_ci3"] = dj
                 rec["rel_control_drift_vs_ci3"] = dfq
-                assert dj < 1e-10 and dfq < 1e-9, (k_exp, ci, dj, dfq)
-            out["runs"][f"{k_exp}_ci{ci}"] = rec
-            print(json.dumps({k_exp: rec, "ci": ci}), flush=True)
+                # f64 sweep-count cells: same-precision chord, tight
+                # gate; f32 cells: converged states differ below the
+                # stopping threshold — gate one decade looser
+                if f32:
+                    assert dj < 1e-9 and dfq < 1e-8, (tag, dj, dfq)
+                else:
+                    assert dj < 1e-10 and dfq < 1e-9, (tag, dj, dfq)
+            out["runs"][tag] = rec
+            print(json.dumps({k_exp: rec, "ci": ci, "f32": f32}),
+                  flush=True)
     os.makedirs("results/bench_stages", exist_ok=True)
     with open("results/bench_stages/correction_ab.json", "w") as fh:
         json.dump(out, fh, indent=2)
