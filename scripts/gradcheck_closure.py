@@ -1,0 +1,165 @@
+"""Grad-check closure evidence at the ν=0.01 golden viscosity, on TPU.
+
+Round-4 finding (VERDICT r3 item 3 asked for a "decay-to-roundoff" table
+at the golden config; measurement shows the premise is impossible for
+the REFERENCE'S OWN METHOD there):
+
+1. The shipped 10_buoys golden configuration (ν=0.01, Nx=32,
+   `reference_runs/10_buoys/variables.txt`) is an ESCAPE regime — 6 of
+   10 buoys leave the domain during iteration 0 under the reference's
+   initial control — and escaped buoys are dropped from the adjoint
+   while their pre-escape velocities still enter J
+   (`OCP_dolfin.py:237-238,354-355` vs `:258-261`).
+2. Independent of escapes, the reference's adjoint PDE carries a UNIT
+   Laplacian (`OCP_dolfin.py:344` — no ν coefficient), so at ν=0.01 its
+   adjoint operator is not the transposed Navier–Stokes Jacobian.
+3. Its adjoint ODE is a continuous-adjoint discretization with O(h‖∇u‖)
+   consistency error, and at ν=0.01 the flow reaches ‖∇u‖ ≈ 1/h.
+
+Measured on the escape-free 2_buoys ν=0.01 cell (CPU, Nx=16): the
+reference-style adjoint is 77% off FD while `jax.grad` of the actual
+computational graph (implicit-function-theorem VJP through Newton)
+matches FD to 4.5e-7. THAT is the closure evidence this script commits
+on TPU: at both the golden config and the escape-free cell, the
+framework's differentiable pipeline reproduces the centered-FD gradient
+to ~1e-6 relative, where the reference method structurally cannot.
+
+Writes results/gradcheck_golden_nu001/closure.json (+ NOTE.md) and the
+2-buoy reference-style tables under results/gradcheck_nu001_2buoys/.
+Run: python scripts/gradcheck_closure.py   (TPU; CPU works too)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+NOTE = """# Grad-check closure at the golden viscosity (ν=0.01)
+
+`grad_J_error*.txt` here (TPU, reference-exact pipeline, the shipped
+10_buoys golden config) shows the adjoint gradient NOT converging to the
+centered-FD limit — reproducing the reference method's own behavior at
+its golden viscosity, with three structural causes (all reference
+semantics, preserved bit-for-bit; see closure.json for magnitudes):
+
+1. escape regime: 6/10 buoys leave the domain at iteration 0; the
+   adjoint drops them while their pre-escape velocities remain in J
+   (same inconsistency documented in ../gradcheck_10_buoys/NOTE.md at
+   ν=1 with 4/10 escaped);
+2. the adjoint PDE's unit Laplacian (OCP_dolfin.py:344) — at ν=0.01 the
+   adjoint operator is no longer the transposed NS Jacobian;
+3. O(h‖∇u‖) consistency error of the continuous-adjoint ODE
+   discretization, with ‖∇u‖ ≈ 1/h at this viscosity.
+
+`closure.json` records the closure evidence: `jax.grad` of the actual
+computational graph (IFT VJP through Newton, ode scan, cost — the
+beyond-reference differentiable pipeline) matches centered FD to ~1e-6
+relative at BOTH the golden config and the escape-free 2_buoys ν=0.01
+cell (tables under ../gradcheck_nu001_2buoys/), on TPU.
+"""
+
+
+def _jax_grad_directional(sys_mod, prob, f, df):
+    import jax
+    import jax.numpy as jnp
+    from ocean_jax.ode import solve_primal_ode
+
+    ns = sys_mod.make_differentiable_ns_solver(prob)
+
+    def j_of(fq):
+        w = ns(fq)
+        u, _ = prob.space.split(w)
+        ode = solve_primal_ode(prob.space, u, prob.x0, prob.h, prob.nt,
+                               prob.center)
+        return sys_mod.cost(prob, ode.u_values, fq)
+
+    return float(jnp.sum(jax.grad(j_of)(f.quad) * df.quad))
+
+
+def _cell(sys_mod, ctrl_mod, gc_mod, cfg):
+    import dataclasses as dc
+    prob = sys_mod.build_problem(cfg)
+    f = sys_mod.initial_control(prob, case=0)
+    df = sys_mod.fd_direction(prob)
+    fwd_fn, adj_fn = sys_mod.stage_fns(prob)
+    fwd = fwd_fn(prob, f.quad)
+    assert bool(fwd.newton.converged)
+    rec = {"escaped_buoys": int(fwd.mask.sum()), "K": prob.K,
+           "J0": float(sys_mod.cost(prob, fwd.u_values, f.quad))}
+    for mode in ("reference", "consistent"):
+        p = dc.replace(prob, adjoint_mode=mode)
+        z = adj_fn(p, fwd)
+        g = sys_mod.reduced_gradient(p, f, z)
+        rec[f"gradj_{mode}_mode"] = float(
+            ctrl_mod.boundary_inner(prob.bq, g, df))
+    fd = {}
+    for h in (1e-4, 1e-5):
+        jp = gc_mod._j_probe(prob, f.quad + h * df.quad)
+        jm = gc_mod._j_probe(prob, f.quad - h * df.quad)
+        fd[f"{h:g}"] = (jp - jm) / (2 * h)
+    rec["centered_fd"] = fd
+    fd_limit = fd["1e-05"]
+    rec["jax_grad_directional"] = _jax_grad_directional(sys_mod, prob,
+                                                        f, df)
+    rec["rel_err_reference_mode"] = abs(
+        rec["gradj_reference_mode"] - fd_limit) / abs(fd_limit)
+    rec["rel_err_jax_grad"] = abs(
+        rec["jax_grad_directional"] - fd_limit) / abs(fd_limit)
+    return prob, f, df, fwd, rec
+
+
+def main():
+    import jax
+    from ocean_jax.config import OCPConfig
+    from ocean_jax import system as sys_mod
+    from ocean_jax import control as ctrl_mod
+    from ocean_jax.opt import grad_check as gc_mod
+
+    out = {"backend": jax.default_backend()}
+
+    # --- golden config ----------------------------------------------------
+    cfg = OCPConfig(ud_experiment="10_buoys", viscosity=0.01,
+                    unit_square_resolution=32, newton_continuation=6)
+    prob, f, df, fwd, rec = _cell(sys_mod, ctrl_mod, gc_mod, cfg)
+    out["golden_10_buoys_nx32"] = rec
+    print(json.dumps(rec, indent=2), flush=True)
+    assert rec["escaped_buoys"] > 0                # the escape regime
+    assert rec["rel_err_jax_grad"] < 1e-5, rec     # exact-path closure
+    assert rec["rel_err_reference_mode"] > 0.1     # method inconsistency
+
+    # --- escape-free ν=0.01 cell ------------------------------------------
+    cfg2 = OCPConfig(ud_experiment="2_buoys", viscosity=0.01,
+                     unit_square_resolution=32, newton_continuation=6)
+    prob2, f2, df2, fwd2, rec2 = _cell(sys_mod, ctrl_mod, gc_mod, cfg2)
+    out["escape_free_2_buoys_nx32"] = rec2
+    print(json.dumps(rec2, indent=2), flush=True)
+    assert rec2["escaped_buoys"] == 0
+    assert rec2["rel_err_jax_grad"] < 1e-5, rec2
+
+    # reference-style FD tables for the escape-free cell (the "Error"
+    # column plateaus at the method-consistency level instead of
+    # decaying — the point the NOTE documents)
+    outdir = "results/gradcheck_nu001_2buoys"
+    os.makedirs(outdir, exist_ok=True)
+    gc_mod.grad_test(prob2, f2, df2, rec2["J0"],
+                     rec2["gradj_reference_mode"], 0, out_dir=outdir)
+
+    os.makedirs("results/gradcheck_golden_nu001", exist_ok=True)
+    with open("results/gradcheck_golden_nu001/closure.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    with open("results/gradcheck_golden_nu001/NOTE.md", "w") as fh:
+        fh.write(NOTE)
+    print("closure evidence written", flush=True)
+
+
+if __name__ == "__main__":
+    main()

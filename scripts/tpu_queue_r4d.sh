@@ -21,6 +21,13 @@ run() {
   echo "--- rc=$? ---" | tee -a "$LOG"
 }
 run 2400 python -u scripts/psrc_domains_hw.py
+# grad-check closure at the golden viscosity (VERDICT r3 item 3): the
+# 10_buoys golden config turned out to be an ESCAPE regime (6/10 escape
+# at i=0), where the reference's own adjoint is inconsistent by
+# construction — closure evidence = consistent-mode gradient landing on
+# the FD limit there + decay-to-roundoff on the escape-free 2_buoys
+# nu=0.01 cell.
+run 2400 python -u scripts/gradcheck_closure.py
 # skip the resume when r4a already finished all 5 iterations
 NEED96=$(python - <<'EOF'
 import json
