@@ -74,7 +74,7 @@ class OCPConfig:
     max_line_search_iters: int = 80   # safety bound (reference loops forever)
     refine_iters: int = 6             # fp64 refinement sweeps per linear solve (TPU-validated: 4 sweeps ≡ 12 at 1.6e-12)
     newton_reuse_lu: bool = False     # one LU per Newton solve + corrected steps
-    newton_correction_iters: int = 3  # Richardson correction sweeps per chord-Newton step on the reuse-LU path (each = one exact jvp + one solve32; fewer sweeps = cheaper steps but more of them)
+    newton_correction_iters: int = 1  # Richardson correction sweeps per chord-Newton step on the reuse-LU path (hardware A/B results/bench_stages/correction_ab.json: 1 sweep keeps Newton at 3 iterations with ~1e-13 control drift and is 7-19% faster per GD iteration than the previous default 3)
     newton_chord_f32: bool = False  # run chord-correction sweeps in native f32 (TPU f64 is emulated; step quality is Richardson-limited ~1e-3, so the f64 convergence test is unaffected)
     dense_apply: str = "lu"           # lu|inverse — float32 preconditioner application on the dense path: sequential triangular solves, or one chunked-trsm explicit inverse whose every apply is a single MXU matmul
     linear_solver: str = "auto"       # auto|dense|mg — mg = FGMRES + geometric two-grid (past the dense-LU cap)

@@ -52,7 +52,7 @@ def newton_solve(residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  atol: float = 1e-10,
                  max_iter: int = 50,
                  reuse_factorization: bool = False,
-                 correction_iters: int = 3,
+                 correction_iters: int = 1,
                  fac0: Optional[linalg.LUSolver] = None,
                  residual_fn32: Optional[Callable[[jnp.ndarray],
                                                   jnp.ndarray]] = None

@@ -100,9 +100,10 @@ class OCPProblem:
     buoy_weights: Optional[jnp.ndarray] = None
     # preconditioned-Richardson sweeps per chord-Newton step on the
     # reuse-LU fast path (solve/newton.py): each sweep costs one exact
-    # jvp + one solve32; fewer sweeps = cheaper steps but more of them
-    # (the newton_loop_glue A/B lever, BACKLOG "Perf 1")
-    newton_correction_iters: int = 3
+    # jvp + one solve32. Hardware A/B (correction_ab.json): 1 sweep
+    # keeps Newton at 3 iterations with ~1e-13 control drift and is
+    # 7-19% faster per GD iteration than 3.
+    newton_correction_iters: int = 1
     # run the chord-correction sweeps in native float32 (solve/newton.py
     # ``residual_fn32``): the polished step is Richardson-limited at
     # ~1e-3 relative, three decades above f32 roundoff, while TPU f64 is
@@ -380,7 +381,7 @@ def build_problem(cfg: OCPConfig,
         nu=cfg.viscosity, alpha=cfg.alpha_scaled, h=cfg.dt, nt=nt,
         refine_iters=cfg.refine_iters,
         newton_reuse_lu=getattr(cfg, "newton_reuse_lu", False),
-        newton_correction_iters=getattr(cfg, "newton_correction_iters", 3),
+        newton_correction_iters=getattr(cfg, "newton_correction_iters", 1),
         newton_chord_f32=getattr(cfg, "newton_chord_f32", False),
         psrc_method=getattr(cfg, "psrc_method", "scatter"),
         mg=mg_ctx, linear_solver=linear_solver,
@@ -575,7 +576,7 @@ def _solve_ns(prob: OCPProblem, f_quad: jnp.ndarray,
                         prob.bc_dofs, prob.bc_vals,
                         reuse_factorization=prob.newton_reuse_lu,
                         correction_iters=getattr(
-                            prob, "newton_correction_iters", 3),
+                            prob, "newton_correction_iters", 1),
                         fac0=prob.fac0, residual_fn32=residual32)
 
 
