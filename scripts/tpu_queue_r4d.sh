@@ -28,6 +28,9 @@ run 2400 python -u scripts/psrc_domains_hw.py
 # the FD limit there + decay-to-roundoff on the escape-free 2_buoys
 # nu=0.01 cell.
 run 2400 python -u scripts/gradcheck_closure.py
+# refresh the committed per-K table under the new correction_iters=1
+# default (headline + K=10 latency-floor cell)
+run 2400 python -u bench.py --multi-k
 # skip the resume when r4a already finished all 5 iterations
 NEED96=$(python - <<'EOF'
 import json
