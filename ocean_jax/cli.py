@@ -120,8 +120,9 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         # (results/bench_stages/psrc_micro.json: fused+inverse 0.370 s vs
         # ozaki+inverse 0.671 / sorted+lu 1.332 s per K=10⁴ GD iteration,
         # control parity ≤4e-12 across cells). The fused kernel covers
-        # uniform square/L-shape domains — every CLI config; hole/graded
-        # domains (gen-1 pipe API only) gate to the XLA reductions.
+        # every domain class — uniform square/L-shape, graded tensor
+        # meshes, and hole domains (hardware parity ≤1.7e-13,
+        # results/bench_stages/psrc_domains_hw.json).
         psrc_method=(args.psrc_method if args.psrc_method is not None
                      else ("fused" if args.fast else "scatter")),
         dense_apply=(args.dense_apply if args.dense_apply is not None
