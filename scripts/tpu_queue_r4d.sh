@@ -31,6 +31,9 @@ run 2400 python -u scripts/gradcheck_closure.py
 # refresh the committed per-K table under the new correction_iters=1
 # default (headline + K=10 latency-floor cell)
 run 2400 python -u bench.py --multi-k
+# refreshed per-kernel attribution of the fused iteration under
+# correction_iters=1 (VERDICT item 2 done-condition)
+run 1500 python -u scripts/fused_profile.py
 # skip the resume when r4a already finished all 5 iterations
 NEED96=$(python - <<'EOF'
 import json
