@@ -85,7 +85,12 @@ def _jax_grad_directional(sys_mod, prob, f, df):
     return float(jnp.sum(jax.grad(j_of)(f.quad) * df.quad))
 
 
-def _cell(sys_mod, ctrl_mod, gc_mod, cfg):
+def _cell(sys_mod, ctrl_mod, gc_mod, cfg, grad_nx=None):
+    """``grad_nx``: resolution for the jax.grad closure sub-cell (the
+    IFT-VJP program through the unrolled 7-rung continuation ladder is
+    a heavy single compile; a smaller mesh demonstrates the same
+    closure — the adjoint-method inconsistency it is compared against
+    is resolution-independent). None = same mesh."""
     import dataclasses as dc
     prob = sys_mod.build_problem(cfg)
     f = sys_mod.initial_control(prob, case=0)
@@ -101,6 +106,7 @@ def _cell(sys_mod, ctrl_mod, gc_mod, cfg):
         g = sys_mod.reduced_gradient(p, f, z)
         rec[f"gradj_{mode}_mode"] = float(
             ctrl_mod.boundary_inner(prob.bq, g, df))
+    print("adjoint modes done:", json.dumps(rec), flush=True)
     fd = {}
     for h in (1e-4, 1e-5):
         jp = gc_mod._j_probe(prob, f.quad + h * df.quad)
@@ -108,12 +114,29 @@ def _cell(sys_mod, ctrl_mod, gc_mod, cfg):
         fd[f"{h:g}"] = (jp - jm) / (2 * h)
     rec["centered_fd"] = fd
     fd_limit = fd["1e-05"]
-    rec["jax_grad_directional"] = _jax_grad_directional(sys_mod, prob,
-                                                        f, df)
     rec["rel_err_reference_mode"] = abs(
         rec["gradj_reference_mode"] - fd_limit) / abs(fd_limit)
-    rec["rel_err_jax_grad"] = abs(
-        rec["jax_grad_directional"] - fd_limit) / abs(fd_limit)
+    print("fd done:", json.dumps(fd), flush=True)
+    if grad_nx is not None and grad_nx != cfg.unit_square_resolution:
+        pg = sys_mod.build_problem(
+            dc.replace(cfg, unit_square_resolution=grad_nx))
+        fg = sys_mod.initial_control(pg, case=0)
+        dfg = sys_mod.fd_direction(pg)
+        d = _jax_grad_directional(sys_mod, pg, fg, dfg)
+        hh = 1e-5
+        jp = gc_mod._j_probe(pg, fg.quad + hh * dfg.quad)
+        jm = gc_mod._j_probe(pg, fg.quad - hh * dfg.quad)
+        fdg = (jp - jm) / (2 * hh)
+        rec["jax_grad_nx"] = grad_nx
+        rec["jax_grad_directional"] = d
+        rec["jax_grad_fd"] = fdg
+        rec["rel_err_jax_grad"] = abs(d - fdg) / abs(fdg)
+    else:
+        rec["jax_grad_nx"] = cfg.unit_square_resolution
+        rec["jax_grad_directional"] = _jax_grad_directional(sys_mod, prob,
+                                                            f, df)
+        rec["rel_err_jax_grad"] = abs(
+            rec["jax_grad_directional"] - fd_limit) / abs(fd_limit)
     return prob, f, df, fwd, rec
 
 
@@ -129,7 +152,9 @@ def main():
     # --- golden config ----------------------------------------------------
     cfg = OCPConfig(ud_experiment="10_buoys", viscosity=0.01,
                     unit_square_resolution=32, newton_continuation=6)
-    prob, f, df, fwd, rec = _cell(sys_mod, ctrl_mod, gc_mod, cfg)
+    grad_nx = int(os.environ.get("CLOSURE_GRAD_NX", "16"))
+    prob, f, df, fwd, rec = _cell(sys_mod, ctrl_mod, gc_mod, cfg,
+                                  grad_nx=grad_nx)
     out["golden_10_buoys_nx32"] = rec
     print(json.dumps(rec, indent=2), flush=True)
     assert rec["escaped_buoys"] > 0                # the escape regime
@@ -139,7 +164,8 @@ def main():
     # --- escape-free ν=0.01 cell ------------------------------------------
     cfg2 = OCPConfig(ud_experiment="2_buoys", viscosity=0.01,
                      unit_square_resolution=32, newton_continuation=6)
-    prob2, f2, df2, fwd2, rec2 = _cell(sys_mod, ctrl_mod, gc_mod, cfg2)
+    prob2, f2, df2, fwd2, rec2 = _cell(sys_mod, ctrl_mod, gc_mod,
+                                   cfg2, grad_nx=grad_nx)
     out["escape_free_2_buoys_nx32"] = rec2
     print(json.dumps(rec2, indent=2), flush=True)
     assert rec2["escaped_buoys"] == 0
