@@ -42,6 +42,7 @@ def test_auto_gate():
         sys_mod.resolve_adjoint_reuse("maybe", 1.0, "dense")
 
 
+@pytest.mark.slow
 def test_adjoint_state_parity(prob_pair):
     prob_off, prob_on, f = prob_pair
     fwd = sys_mod.forward(prob_off, f.quad)
@@ -52,6 +53,7 @@ def test_adjoint_state_parity(prob_pair):
     assert float(jnp.linalg.norm(z_new - z_ref)) <= 1e-10 * scale
 
 
+@pytest.mark.slow
 def test_richardson_converges_without_fallback(prob_pair):
     prob_off, _, f = prob_pair
     fwd = sys_mod.forward(prob_off, f.quad)
@@ -65,6 +67,7 @@ def test_richardson_converges_without_fallback(prob_pair):
         jnp.linalg.norm(x_ref))
 
 
+@pytest.mark.slow
 def test_precomputed_stokes_fac0_bit_identical(prob_pair):
     """build_problem precomputes the control-independent Stokes LU
     (``OCPProblem.fac0``); the GD step with it equals the in-program
@@ -82,6 +85,7 @@ def test_precomputed_stokes_fac0_bit_identical(prob_pair):
     assert float(a.lr) == float(b.lr)
 
 
+@pytest.mark.slow
 def test_parity_under_stale_stokes_factors(prob_pair):
     """newton_reuse_lu=True leaves J(w0)=Stokes factors in the result;
     the transposed-factor adjoint must still converge and agree."""
@@ -96,6 +100,7 @@ def test_parity_under_stale_stokes_factors(prob_pair):
     assert float(jnp.linalg.norm(z_new - z_ref)) <= 1e-9 * scale
 
 
+@pytest.mark.slow
 def test_gd_step_parity(prob_pair):
     prob_off, prob_on, f = prob_pair
     lr = jnp.asarray(5.0)

@@ -45,6 +45,7 @@ def test_newton_converges_f32_chord(prob_pair):
     assert dw < 1e-8, dw
 
 
+@pytest.mark.slow
 def test_gd_step_parity_f32_chord(prob_pair):
     p64, p32, f = prob_pair
     lr = jnp.asarray(1.0)

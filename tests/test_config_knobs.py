@@ -12,6 +12,7 @@ from ocean_jax import system as sys_mod
 
 @pytest.mark.parametrize("psrc", ["sorted", "ozaki", "ozaki_pallas",
                                   "fused"])
+@pytest.mark.slow
 def test_fast_path_knobs_equivalent(psrc):
     rng = np.random.default_rng(0)
     K = 3
@@ -37,6 +38,7 @@ def test_fast_path_knobs_equivalent(psrc):
                        atol=tol_f)
 
 
+@pytest.mark.slow
 def test_dense_apply_inverse_equivalent():
     """dense_apply="inverse" (explicit f32 inverse, matmul applies)
     reproduces the LU-apply GD step: refinement absorbs the f32
@@ -74,6 +76,7 @@ def test_invert32_accuracy():
     assert resid.max() < 1e-4
 
 
+@pytest.mark.slow
 def test_reuse_ls_forward_bit_identical():
     """Reusing the accepted line-search probe's forward state reproduces
     the reference path bit-for-bit (same control → same deterministic
@@ -95,6 +98,7 @@ def test_reuse_ls_forward_bit_identical():
     assert float(jnp.abs(a.f.quad - b.f.quad).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_line_search_floors_at_lr_min_without_respinning():
     """Unsatisfiable Armijo condition (huge c): the LS must decay LR to
     LR_MIN, probe the floor ONCE, and accept — not burn max_ls_iters

@@ -45,6 +45,7 @@ def _gradj(prob, f, df):
     return float(ctrl_mod.boundary_inner(prob.bq, g, df)), fwd
 
 
+@pytest.mark.slow
 def test_consistent_adjoint_matches_fd_in_escape_regime(escape_setup):
     prob, f = escape_setup
     df = sys_mod.fd_direction(prob)
@@ -73,6 +74,7 @@ def test_consistent_adjoint_matches_fd_in_escape_regime(escape_setup):
     assert rel_con < rel_ref / 20
 
 
+@pytest.mark.slow
 def test_consistent_equals_reference_without_escapes():
     rng = np.random.default_rng(0)
     K = 4

@@ -12,6 +12,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
@@ -33,6 +34,7 @@ def test_vanilla_newton_diverges_at_golden_viscosity():
     assert float(r.residual_norm) > 1.0
 
 
+@pytest.mark.slow
 def test_continuation_reaches_golden_viscosity_dense():
     cfg = _cfg(newton_continuation=6)
     pd = sys_mod.build_problem(cfg)
@@ -43,6 +45,7 @@ def test_continuation_reaches_golden_viscosity_dense():
     assert float(jnp.max(jnp.abs(rd.w))) > 3.0
 
 
+@pytest.mark.slow
 def test_continuation_mg_coarse_mesh_stall_is_detected():
     """On the mg path at Nx=16 the ladder's last rungs are
     convection-dominated (cell Péclet u·h/ν ≈ 20): damped-Jacobi
@@ -60,6 +63,7 @@ def test_continuation_mg_coarse_mesh_stall_is_detected():
     assert np.isfinite(float(rm.residual_norm))
 
 
+@pytest.mark.slow
 def test_continuation_gd_step_descends():
     cfg = _cfg(newton_continuation=6)
     prob = sys_mod.build_problem(cfg)

@@ -38,6 +38,7 @@ def _fd_table(prob, f, df, hs):
     return out
 
 
+@pytest.mark.slow
 def test_adjoint_gradient_vs_fd(small_problem):
     cfg, prob = small_problem
     f = sys_mod.initial_control(prob, case=0)
@@ -58,6 +59,7 @@ def test_adjoint_gradient_vs_fd(small_problem):
     assert rel < 5e-3, (gradj, fd)
 
 
+@pytest.mark.slow
 def test_jax_grad_exact_vs_fd(small_problem):
     """jax.grad through NS (implicit diff) + ODE scan + cost is the exact
     discrete gradient: matches centered FD to ~1e-9 relative."""
@@ -86,6 +88,7 @@ def test_jax_grad_exact_vs_fd(small_problem):
     assert np.isclose(directional, gradj, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_jax_grad_correct_in_escape_regime():
     """Where the reference's adjoint is inconsistent (escaped buoys are
     dropped from the adjoint but their pre-escape velocities remain in J —

@@ -3,6 +3,7 @@ exactly — the gather-only Krylov fast path for TPU mg solves."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
@@ -29,6 +30,7 @@ def _tables(prob):
                              bc))
 
 
+@pytest.mark.slow
 def test_ell_matvec_matches_scatter_mixed_and_velocity():
     prob = _mg_problem()
     ell_mixed, ell_vel = _tables(prob)

@@ -20,6 +20,7 @@ def prob():
     return sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
 
 
+@pytest.mark.slow
 def test_ensemble_matches_sequential(prob):
     cases = [sys_mod.initial_control(prob, c) for c in range(4)]
     f0 = stack_controls(cases)
@@ -39,6 +40,7 @@ def test_ensemble_matches_sequential(prob):
                            np.asarray(f.quad), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_run_all_cases_fused():
     """The C3 study's advertised all-cases-one-XLA-program capability."""
     from ocean_jax.pipelines.initial_control import run_all_cases_fused
@@ -52,6 +54,7 @@ def test_run_all_cases_fused():
     assert len(np.unique(np.round(j_last, 12))) == 4
 
 
+@pytest.mark.slow
 def test_ensemble_lr_grid(prob):
     f0 = stack_controls([sys_mod.initial_control(prob, 0)] * 3)
     lr0 = jnp.asarray([0.5, 1.0, 2.0])

@@ -1,10 +1,12 @@
 """Gen-1 facade: the class-based API runs and its gradient check closes."""
 
 import numpy as np
+import pytest
 
 from ocean_jax.gen1 import main as g1main
 
 
+@pytest.mark.slow
 def test_gen1_driver_runs_and_descends():
     r = g1main.run(nx=8, K=3, num_steps=3, lr=0.5, grad_check=False,
                    verbose=False)
@@ -14,6 +16,7 @@ def test_gen1_driver_runs_and_descends():
     assert np.isfinite(j).all()
 
 
+@pytest.mark.slow
 def test_gen1_gradient_check():
     """The gen-1 FD helpers close against the gen-1 adjoint gradient at
     that generation's consistency level."""

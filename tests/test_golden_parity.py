@@ -18,6 +18,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference_runs not mounted")
 
 
+@pytest.mark.slow
 def test_golden_6_buoys_taylor_green():
     from ocean_jax.pipelines import ud_construction as ud
     r = ud.run(nx=32, K=6, viscosity=1.0)
@@ -31,6 +32,7 @@ def test_golden_6_buoys_taylor_green():
     assert np.isclose(r["div"], 0.8450882305, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_golden_100_buoys_constant_inflow():
     from ocean_jax.pipelines import ud_construction as ud
     r = ud.run(nx=32, K=100, viscosity=1.0)
@@ -60,6 +62,7 @@ def test_golden_field_reader_and_norms():
     assert np.isclose(float(h1), 0.6264083902820639, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_warm_start_from_dolfin_q_backup():
     """load_q capability across implementations: warm-start the OCP from
     the reference's own q_backup checkpoint (OCP_dolfin.py:151-154) and

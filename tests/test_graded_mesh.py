@@ -102,6 +102,7 @@ def test_graded_mesh_stokes_solve():
     assert float(assemble.divergence_l2(space, u)) < 0.05
 
 
+@pytest.mark.slow
 def test_pallas_backend_runs_on_graded_mesh():
     """Round-3 tail: the fused Pallas kernel runs on graded tensor
     meshes via the in-kernel searchsorted (exact hi/lo grid-line table,

@@ -27,6 +27,7 @@ def pair16():
     return _problem(16, "dense"), _problem(16, "mg")
 
 
+@pytest.mark.slow
 def test_mg_newton_matches_dense(pair16):
     pd, pm = pair16
     f = sys_mod.initial_control(pd, case=0)
@@ -36,6 +37,7 @@ def test_mg_newton_matches_dense(pair16):
     assert float(jnp.max(jnp.abs(rd.w - rm.w))) < 1e-9
 
 
+@pytest.mark.slow
 def test_mg_adjoint_matches_dense(pair16):
     pd, pm = pair16
     f = sys_mod.initial_control(pd, case=0)
@@ -44,6 +46,7 @@ def test_mg_adjoint_matches_dense(pair16):
     assert float(jnp.max(jnp.abs(zd - zm))) < 1e-9
 
 
+@pytest.mark.slow
 def test_mg_gd_step_parity(pair16):
     """Full fused GD iteration (line search on) agrees between the dense
     and two-grid linear solvers."""
@@ -58,6 +61,7 @@ def test_mg_gd_step_parity(pair16):
     assert float(jnp.max(jnp.abs(a.f_new.quad - b.f_new.quad))) < 1e-10
 
 
+@pytest.mark.slow
 def test_mg_light_smoothing_parity(pair16):
     """pre=1/post=1 sweeps (the cheap-smoothing A/B config): accuracy is
     still set by the exact-f64 outer refinement, so the GD step matches
@@ -109,6 +113,7 @@ def test_mg_gd_descending_parity_nx32():
     assert float(jnp.max(jnp.abs(fd - fm))) < 1e-9 * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_mg_mesh_independent_cycles():
     """The block preconditioner keeps FGMRES restart-cycle counts flat as
     the mesh refines (the property that unlocks Nx>=64 on TPU)."""
@@ -139,6 +144,7 @@ def test_mg_mesh_independent_cycles():
     assert cycles[24] <= cycles[8] + 1, cycles
 
 
+@pytest.mark.slow
 def test_mg_lshape_staircase():
     """Odd L-shape resolutions put staircase dofs outside the analytic
     domain; the transfer builder snaps them (O(h) rows near the corner)."""
@@ -168,6 +174,7 @@ def test_mg_lshape_staircase():
     assert float(jnp.max(jnp.abs(rm.w - rd.w))) < 3e-8
 
 
+@pytest.mark.slow
 def test_multilevel_vcycle_parity():
     """Multi-LEVEL hierarchy (forced 3 grids via a tiny leaf budget —
     the Nx≥192 configuration where no dense inverse fits any level but
@@ -214,6 +221,7 @@ def test_auto_solver_selection():
     assert big.mg.space_c.ndof < big.space.ndof
 
 
+@pytest.mark.slow
 def test_mg_adjoint_low_viscosity_scaling():
     """ν=0.01 (the 10_buoys golden viscosity): the adjoint operator's
     Laplacian is UNIT-viscosity (OCP_dolfin.py:344 quirk) while the mg
@@ -259,6 +267,7 @@ def test_mg_adjoint_low_viscosity_scaling():
     assert float(jnp.max(jnp.abs(zd - zs))) < 1e-9 * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_mg_coarse_krylov_parity(pair16):
     """``mg_coarse_krylov`` (convection-aware coarse correction,
     solve/mg.py) is a preconditioner-only change: the full GD iteration

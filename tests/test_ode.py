@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.mesh import rectangle_mesh
 from ocean_jax.fem import make_space
@@ -111,6 +112,7 @@ def test_adjoint_ode_matches_reference_loop():
     assert np.allclose(np.asarray(mu)[1], 0.0)
 
 
+@pytest.mark.slow
 def test_parallel_adjoint_matches_sequential():
     """The associative-scan adjoint ODE equals the sequential recursion,
     including the out-of-domain ∇u-reuse quirk and masked buoys."""

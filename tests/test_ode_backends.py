@@ -131,6 +131,7 @@ def test_grideval_matches_tables(name, mesh):
      [1.0, 1.0]),
     ("lshape", structured.l_shape_mesh(8), [1.0, 0.5]),
 ])
+@pytest.mark.slow
 def test_primal_ode_backends_agree(name, mesh, center):
     rng = np.random.default_rng(3)
     sp = make_space(mesh)
@@ -158,6 +159,7 @@ def test_primal_ode_backends_agree(name, mesh, center):
     ("pipe-graded", structured.pipe_mesh(obstacle=True, graded=True,
                                          lc_min=0.06, lc_max=0.3)[0]),
 ])
+@pytest.mark.slow
 def test_primal_ode_grid_backend_pipe_domains(name, mesh):
     """gather vs grid vs pallas parity on the gen-1 pipe domains (hole +
     graded) — trajectories that skirt the obstacle and escape through it
@@ -191,6 +193,7 @@ def test_primal_ode_grid_backend_pipe_domains(name, mesh):
 # whole-pipeline equivalence: gd_step under each ode_backend
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_gd_step_ode_backends_agree():
     from ocean_jax import system as sys_mod
     from ocean_jax.config import OCPConfig

@@ -54,6 +54,7 @@ def test_eval_matches_gather(lshape):
 
 @pytest.mark.parametrize("obstacle,graded", [(True, False), (True, True),
                                              (False, True)])
+@pytest.mark.slow
 def test_eval_matches_grid_on_pipe_domains(obstacle, graded):
     """Round-3 tail: the eval kernel covers the gen-1 pipe domains —
     graded tensor grids via the in-kernel searchsorted, hole domains by
@@ -80,6 +81,7 @@ def test_eval_matches_grid_on_pipe_domains(obstacle, graded):
     assert d < 2e-6, d                      # f32-level CPU-interpret bar
 
 
+@pytest.mark.slow
 def test_adjoint_mu_matches():
     """solve_adjoint_ode with the kernel equals the gather path, incl.
     the reuse-previous-∇u escape quirk handled outside the kernel."""

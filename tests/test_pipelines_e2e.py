@@ -9,6 +9,7 @@ import pytest
 from ocean_jax.config import OCPConfig
 
 
+@pytest.mark.slow
 def test_lshape_ocp_descends():
     """The L-shape experiment (OCP_dolfin.py L_shape=True branch):
     analytic 3-buoy measurements, Γ₁ = {x=0} ∪ {y=2}, Armijo on."""
@@ -27,6 +28,7 @@ def test_lshape_ocp_descends():
     assert "L-shape" in open(d + "/variables.txt").read()
 
 
+@pytest.mark.slow
 def test_ocp_checkpoint_resume():
     """checkpoints=True resumes from checkpoints/q.npz
     (OCP_dolfin.py:48,157-160), continuing from the saved control."""

@@ -7,6 +7,7 @@ invisible wherever both can run."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
@@ -63,6 +64,7 @@ def test_auto_uses_dense_below_cap():
     assert pj.mode != "cg" and pj.mass is not None
 
 
+@pytest.mark.slow
 def test_cg_projector_in_gd_step():
     """Full GD step with the CG projector == dense projector step."""
     import dataclasses

@@ -47,6 +47,7 @@ def _system_consistent_inputs(space, rng, K=9, nt=30, h=0.01,
     return u, x, u_values, mu, u_d, jnp.asarray(mask), center, h
 
 
+@pytest.mark.slow
 def test_fused_matches_scatter_square():
     space = make_space(rectangle_mesh((0.0, 0.0), (2.0, 2.0), 8, 8))
     grid = make_grideval(space)
@@ -61,6 +62,7 @@ def test_fused_matches_scatter_square():
     assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_fused_matches_scatter_lshape():
     """L-shape notch projection inside the kernel matches locate_points."""
     space = make_space(l_shape_mesh(12))
@@ -91,6 +93,7 @@ def test_fused_matches_scatter_lshape():
     assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_fused_transpose_identity():
     """⟨PS(γ at p), w⟩ == γ · w(p) for the fused kernel too (SURVEY §7.3):
     u = 0, μ = 0, u_d = γ/h plants exact γ sources."""
@@ -111,6 +114,7 @@ def test_fused_transpose_identity():
     assert np.isclose(lhs, rhs, rtol=max(_TOL, 1e-10))
 
 
+@pytest.mark.slow
 def test_fused_matches_scatter_graded():
     """Graded tensor mesh (gen-1 pipe capability,
     old_dolfinx_files/mesh_init.py:145-165): the fused kernel locates
@@ -132,6 +136,7 @@ def test_fused_matches_scatter_graded():
     assert float(jnp.abs(b_fused - b_ref).max()) < _TOL * max(scale, 1.0)
 
 
+@pytest.mark.slow
 def test_fused_matches_scatter_hole():
     """Obstacle (hole) domain: every γ≠0 point lies in an active cell
     (reference invariant — an escaped buoy's lanes are zeroed), so the

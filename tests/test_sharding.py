@@ -33,6 +33,7 @@ def tiny_problem():
     return cfg, prob
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(tiny_problem):
     """The 8-device sharded GD step reproduces the single-device fused
     gd_step exactly (same J, same updated control)."""
@@ -56,6 +57,7 @@ def test_sharded_step_matches_single_device(tiny_problem):
     assert float(escaped) == float(ref.fwd.mask.sum())
 
 
+@pytest.mark.slow
 def test_sharded_step_ozaki_psrc(tiny_problem):
     """The ozaki (bf16-MXU) point-source reduction inside the shard_map'd
     step: per-device partial segment sums + psum equal the single-device
@@ -75,6 +77,7 @@ def test_sharded_step_ozaki_psrc(tiny_problem):
                        atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_step_fused_psrc(tiny_problem):
     """The fully fused Pallas point-source kernel inside the shard_map'd
     step: per-device partial half-grid images + psum equal the
@@ -98,6 +101,7 @@ def test_sharded_step_fused_psrc(tiny_problem):
                        atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_line_search_matches(tiny_problem):
     cfg, prob = tiny_problem
     f = sys_mod.initial_control(prob, case=0)
@@ -123,6 +127,7 @@ def test_pad_buoys():
     assert np.allclose(np.asarray(x0_p[6:]), 1.0)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys as _sys
     _sys.path.insert(0, "/root/repo")
@@ -134,6 +139,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_step_2d_matches_single_device():
     """The 2-D ("dof" × "buoy") mesh step — dof-sharded FGMRES saddle
     solves composed with buoy data parallelism — reproduces the
@@ -183,6 +189,7 @@ def test_sharded_matvec_matches(tiny_problem):
     assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_fgmres_integration(tiny_problem):
     """Multi-device Krylov: FGMRES driven by the cell-sharded matvec
     equals the dense direct solve (the high-resolution multi-chip path)."""

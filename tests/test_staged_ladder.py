@@ -11,6 +11,7 @@ guess; the exact-f64 convergence test fixes the answer."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.config import OCPConfig
 from ocean_jax import system as sys_mod
@@ -27,6 +28,7 @@ def _mg_problem(nu=0.05, n_rungs=4):
     return cfg, sys_mod.build_problem(cfg, u_d=u_d, x0=seeds)
 
 
+@pytest.mark.slow
 def test_host_ladder_matches_inprogram_continuation():
     cfg, prob = _mg_problem()
     f = sys_mod.initial_control(prob, case=4)
@@ -55,6 +57,7 @@ def test_host_ladder_matches_inprogram_continuation():
         abs(float(j_cold)) + 1.0)
 
 
+@pytest.mark.slow
 def test_warm_probe_matches_cold_probe():
     cfg, prob = _mg_problem()
     f = sys_mod.initial_control(prob, case=4)
@@ -70,6 +73,7 @@ def test_warm_probe_matches_cold_probe():
     assert abs(float(j_a) - float(j_b)) < 1e-9 * (abs(float(j_a)) + 1.0)
 
 
+@pytest.mark.slow
 def test_stepped_newton_matches_inprogram():
     """Host-driven one-step-per-program Newton (make_newton_stager) ==
     the in-program newton_solve_mg: same frozen preconditioner, same
@@ -93,6 +97,7 @@ def test_stepped_newton_matches_inprogram():
     assert abs(float(j) - float(jref)) < 1e-10 * (abs(float(jref)) + 1.0)
 
 
+@pytest.mark.slow
 def test_stepped_newton_ladder_nu005():
     """Stepped ladder at nu=0.05 lands on the in-program continuation
     solution."""
@@ -113,6 +118,7 @@ def test_stepped_newton_ladder_nu005():
     assert float(jnp.abs(w - ref.w).max()) < 1e-8 * scale
 
 
+@pytest.mark.slow
 def test_coarse_krylov_low_viscosity_warm_probe():
     """ν=0.05, mg_coarse_krylov on: the state-assembled coarse operator
     feeds the inner coarse FGMRES (the convection-dominated re-freeze,
@@ -161,6 +167,7 @@ def test_coarse_krylov_low_viscosity_warm_probe():
     assert conv, (it, rn)
 
 
+@pytest.mark.slow
 def test_stepped_newton_refreeze_matches_reference():
     """max_refreeze exercises the stall-triggered re-freeze (VERDICT r2
     item 9): stall_ratio=0.0 makes the trigger (rn > ratio·prev) fire
@@ -213,6 +220,7 @@ def test_polish_step_credits_convergence():
     assert conv            # pre-round-3-tail code returned False here
 
 
+@pytest.mark.slow
 def test_staged_adjoint_matches_fused():
     """run_adjoint_staged (one device program per fp64-refinement round,
     the Nx=256 worker-crash fix) == the fused solve_adjoint + gradient:

@@ -40,6 +40,7 @@ MESHES = [
 
 
 @pytest.mark.parametrize("name,mesh", MESHES)
+@pytest.mark.slow
 def test_mixed_matvec_matches_scatter(name, mesh):
     space, bq, op = _setup(mesh)
     st = stencil.build_stencil_tables(space, bq, "mixed")
@@ -70,6 +71,7 @@ def test_velocity_block_matvec_matches_scatter(name, mesh):
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-11, name
 
 
+@pytest.mark.slow
 def test_mg_matvec_knob_switches_paths():
     """mg_matvec="scatter" builds contexts without stencil tables and the
     two configurations solve to the same answer."""

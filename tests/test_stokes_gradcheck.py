@@ -9,6 +9,7 @@ forward pipeline, and with ``jax.grad`` of the jitted forward map.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocean_jax.pipelines import stokes_gradcheck as sg
 from ocean_jax.fem import assemble
@@ -31,6 +32,20 @@ def test_stokes_solver_residual_and_bc():
     assert float(jnp.abs(u).max()) > 1e-3
 
 
+def test_stokes_gradient_fd_closure_fast():
+    """Default-tier canonical closure check (the full-ladder nx=16
+    variant below is `slow`): centered FD matches the adjoint gradient
+    to ~1e-8 relative at the two most accurate step sizes."""
+    prob = sg.build(nx=10)
+    res = sg.gradient_tables(prob, ks=range(4, 6))
+    gradj = res["gradj"]
+    assert abs(gradj) > 1e-6
+    errs = {h: err for _, err, h in res["centered"]}
+    assert errs[1e-5] / abs(gradj) < 1e-8
+    assert 0 < res["div_l2"] < 1.0
+
+
+@pytest.mark.slow
 def test_stokes_gradient_fd_closure():
     prob = sg.build(nx=16)
     res = sg.gradient_tables(prob, ks=range(3, 9))
