@@ -127,29 +127,38 @@ def _adjoint_ode_parallel(space: TaylorHoodSpace, grad_u: jnp.ndarray,
         g_all, inside = eval_p1_tensor_pallas(grid, g_img, x)
     else:
         g_all, inside = eval_p1_tensor(space, grad_u, x)  # (K, nt, 2, 2)
-    # next valid time index ≥ t (reverse cummin); nt when none valid.
-    # associative_scan, NOT lax.cummin: XLA lowers cummin to a
-    # reduce-window with a window the size of the padded lane dim —
-    # 12.6 ms/iteration on (10⁴, 200) u32 in the fused-profile trace —
-    # while the log-depth scan is a handful of elementwise mins.
-    idx = jnp.where(inside, jnp.arange(nt)[None, :], nt)
-    next_valid = jnp.flip(
-        jax.lax.associative_scan(jnp.minimum, jnp.flip(idx, axis=1),
-                                 axis=1),
-        axis=1)                                            # (K, nt)
-    has_valid = next_valid < nt
-    gather_idx = jnp.minimum(next_valid, nt - 1)
+    # Next-valid-∇u fill (the reference's reuse-previous quirk): instead
+    # of computing gather indices and a per-lane take_along_axis — the
+    # gathers on (10⁴, 200) f64 planes lowered to 8 × 19.4 ms fusions,
+    # HALF the fused iteration's device time (round-4 profile) — run a
+    # log-depth LAST-VALID-VALUE fill over reversed time: each segment
+    # carries (last valid g components, any-valid), an associative
+    # semigroup, so ``lax.associative_scan`` gives out[t] = g at the
+    # smallest valid time ≥ t in 8 levels of elementwise selects. Selects
+    # pick the same elements as the gathers did → bit-identical results.
+    #
+    # All work below stays on (K, nt)-shaped COMPONENT PLANES: where-ing /
+    # composing (…, 2, 2)-shaped arrays pads the tiny trailing dims to
+    # full TPU tiles (the component split runs lane-parallel over the big
+    # axes). Same reasoning as the six-plane scan elements below (a
+    # (…, 2, 2) scan OOMed at K=10⁴).
+    comp_planes = tuple(jnp.flip(g_all[..., i, j], axis=1)
+                        for i in range(2) for j in range(2))
+    inside_rev = jnp.flip(inside, axis=1)
 
-    # All work below stays on (K, nt)-shaped COMPONENT PLANES: gathering /
-    # where-ing / composing (…, 2, 2)-shaped arrays pads the tiny trailing
-    # dims to full TPU tiles (the take_along_axis on (K, nt, 2, 2) alone
-    # cost 2×19.4 ms/iteration in the fused-profile trace; the component
-    # split runs the same gathers lane-parallel over the big axes). Same
-    # reasoning as the six-plane scan elements below (a (…, 2, 2) scan
-    # OOMed at K=10⁴).
+    def fill_combine(left, right):
+        rh = right[4]
+        return tuple(jnp.where(rh, right[i], left[i]) for i in range(4)) \
+            + (left[4] | rh,)
+
+    filled = jax.lax.associative_scan(
+        fill_combine, comp_planes + (inside_rev,), axis=1)
+    has_valid = jnp.flip(filled[4], axis=1)                # (K, nt)
+    g_filled = {(i, j): jnp.flip(filled[2 * i + j], axis=1)
+                for i in range(2) for j in range(2)}
+
     def used(i, j):                                        # (K, nt)
-        plane = jnp.take_along_axis(g_all[..., i, j], gather_idx, axis=1)
-        return jnp.where(has_valid, plane, 0.0)
+        return jnp.where(has_valid, g_filled[(i, j)], 0.0)
 
     # elements for steps k = nt-2 .. 0, using time index t = k+1;
     # gt_ij = (∇u)ᵀ_ij = g_ji, zeroed outside the valid window

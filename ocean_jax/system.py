@@ -641,14 +641,26 @@ def _adjoint_rhs_body(prob: OCPProblem, u: jnp.ndarray,
     (padding lanes) are dropped like escaped buoys in reference mode and
     gated out of ``active_t`` in consistent mode."""
     from .ode.adjoint import solve_adjoint_ode_consistent
-    # pallas backend: route the batched ∇u trajectory evaluation through
-    # the fused grid-eval kernel (matches the gather path to ~1e-12)
-    ode_grid = prob.grid if prob.ode_backend == "pallas" else None
+    # pallas backend: the WHOLE adjoint recursion (∇u trajectory eval +
+    # backward μ scan) runs as one fused Pallas kernel in double-single
+    # f32 (ode/pallas_adjoint.py; matches the f64 path to ~1e-12). The
+    # eval-plus-f64-scan stage it replaces was 0.159 s of the 0.312 s
+    # fused-iteration device time at K=10⁴ (round-4 profile).
+    fused_adj = prob.ode_backend == "pallas"
+    ode_grid = prob.grid if fused_adj else None
     w_b = prob.buoy_weights
     if prob.adjoint_mode == "consistent":
-        mu = solve_adjoint_ode_consistent(
-            prob.space, grad_u, x_raw, u_values, prob.u_d,
-            mask, kfail, prob.h, grid=ode_grid)
+        if fused_adj:
+            from .ode.pallas_adjoint import solve_adjoint_ode_pallas
+            nt = x_raw.shape[1]
+            vlimit = jnp.where(mask, kfail - 1, nt)
+            mu = solve_adjoint_ode_pallas(
+                prob.grid, grad_u, x_raw, u_values, prob.u_d,
+                jnp.zeros_like(mask), prob.h, vlimit=vlimit)
+        else:
+            mu = solve_adjoint_ode_consistent(
+                prob.space, grad_u, x_raw, u_values, prob.u_d,
+                mask, kfail, prob.h, grid=ode_grid)
         t = jnp.arange(prob.nt)[None, :]
         kf = kfail[:, None]
         pre = t <= kf - 1
@@ -664,8 +676,13 @@ def _adjoint_rhs_body(prob: OCPProblem, u: jnp.ndarray,
                                 prob.h, prob.center,
                                 method=prob.psrc_method, active_t=active_t)
     mask_eff = mask if w_b is None else (mask | (w_b == 0))
-    mu = solve_adjoint_ode(prob.space, grad_u, x, u_values,
-                           prob.u_d, mask_eff, prob.h, grid=ode_grid)
+    if fused_adj:
+        from .ode.pallas_adjoint import solve_adjoint_ode_pallas
+        mu = solve_adjoint_ode_pallas(prob.grid, grad_u, x, u_values,
+                                      prob.u_d, mask_eff, prob.h)
+    else:
+        mu = solve_adjoint_ode(prob.space, grad_u, x, u_values,
+                               prob.u_d, mask_eff, prob.h, grid=ode_grid)
     return point_source_rhs(prob.space, u, x, mu, prob.u_d, mask_eff,
                             prob.h, prob.center, method=prob.psrc_method,
                             grid=prob.grid, u_values=u_values)

@@ -241,10 +241,18 @@ def run_gd_staged(prob, f, lr, iters, fh, tag, state_path=None,
                     # solve (same early-accept as opt/driver.py)
                     break
                 lr = new_lr
-            assert bool(fwd_c.newton.converged), (
-                f"{tag}: line search exhausted at iteration {i} with a "
-                f"non-converged probe (lr={lr:g}, rn="
-                f"{float(fwd_c.newton.residual_norm):.3e})")
+            if not bool(fwd_c.newton.converged):
+                # line search exhausted at the LR floor with a
+                # non-converged probe: end the run gracefully on the
+                # LAST ACCEPTED state (already in state_path) instead of
+                # asserting — a multi-hour TPU run should finish with a
+                # usable checkpoint, not a traceback that discards the
+                # current iteration (advisor round-4 finding).
+                log(f"{tag}: line search exhausted at iteration {i} "
+                    f"with a non-converged probe (lr={lr:g}, rn="
+                    f"{float(fwd_c.newton.residual_norm):.3e}); "
+                    "stopping on the last accepted state", fh)
+                break
             log(f"{tag} it={i} line search accepted lr={lr:g} "
                 f"({inner + 1} probes)", fh)
         else:
