@@ -99,6 +99,13 @@ class OCPConfig:
     # results/reuse_soak/soak.json — flagship K=10⁴ 1.20×, L-shape res-50
     # 1.80× per iteration, J/control/LR trajectories exactly equal.
     reuse_ls_forward: bool = True
+    # Drive the production GD loop through the consolidated staged
+    # programs (system.make_staged_pair): one device program per stage
+    # instead of eager per-op dispatch chains — ~29 ms/RTT on the
+    # tunneled TPU made the eager loop 2.25 s/iter at K=10⁴ vs ~0.4 s
+    # staged, identical (J, LR) trajectories. Requires (implies)
+    # reuse_ls_forward; False → the legacy per-stage loop.
+    staged_driver: bool = True
     seed: int = 0
 
     @property

@@ -103,6 +103,8 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True,
                                   on_iteration=on_iteration,
                                   reuse_ls_forward=getattr(
                                       cfg, "reuse_ls_forward", False),
+                                  staged=getattr(cfg, "staged_driver",
+                                                 True),
                                   grad_check_dir=(cfg.out_dir if
                                                   write_artifacts else None),
                                   verbose=verbose)

@@ -67,6 +67,7 @@ def run(cfg: OCPConfig, initial_case: int = 0,
         cfg, prob, f,
         grad_check_dir=(cfg.out_dir if write_artifacts else None),
         reuse_ls_forward=getattr(cfg, "reuse_ls_forward", False),
+        staged=getattr(cfg, "staged_driver", True),
         on_iteration=on_iteration, verbose=verbose)
 
     if write_artifacts:

@@ -1306,14 +1306,11 @@ class GDStepResult(NamedTuple):
                                 # newton_reuse_lu=False (opt/driver.py does)
 
 
-@partial(jax.jit, static_argnames=("use_line_search", "tau", "c_armijo",
-                                   "lr_min", "max_ls_iters", "ode_impl",
-                                   "adjoint_rhs_impl", "matvec_of"))
-def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
-            use_line_search: bool = True, tau: float = 0.5,
-            c_armijo: float = 1e-4, lr_min: float = 1e-6,
-            max_ls_iters: int = 80, ode_impl=None, adjoint_rhs_impl=None,
-            matvec_of=None) -> GDStepResult:
+def _gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
+             use_line_search: bool = True, tau: float = 0.5,
+             c_armijo: float = 1e-4, lr_min: float = 1e-6,
+             max_ls_iters: int = 80, ode_impl=None, adjoint_rhs_impl=None,
+             matvec_of=None) -> GDStepResult:
     """One full gradient-descent iteration (``OCP_dolfin.py:309-450``),
     including the Armijo backtracking line search as a lax.while_loop.
 
@@ -1373,3 +1370,59 @@ def gd_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
                 | (~jnp.isfinite(j_rec)) | (~adj_ok))
     return GDStepResult(f_new, lr, j_rec, div_u, fwd, z, g, gradj, inner,
                         diverged)
+
+
+gd_step = partial(jax.jit, static_argnames=(
+    "use_line_search", "tau", "c_armijo", "lr_min", "max_ls_iters",
+    "ode_impl", "adjoint_rhs_impl", "matvec_of"))(_gd_step)
+
+
+class GDTrajectory(NamedTuple):
+    """Per-iteration scalars of a fused multi-iteration program."""
+    J: jnp.ndarray                  # (n_steps,)
+    lr: jnp.ndarray                 # (n_steps,) accepted LR per iteration
+    div_u: jnp.ndarray              # (n_steps,)
+    inner_iterations: jnp.ndarray   # (n_steps,)
+    mask_count: jnp.ndarray         # (n_steps,) escaped buoys
+    diverged: jnp.ndarray           # (n_steps,)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "use_line_search", "tau",
+                                   "c_armijo", "lr_min", "max_ls_iters",
+                                   "ode_impl", "adjoint_rhs_impl",
+                                   "matvec_of"))
+def gd_multi_step(prob: OCPProblem, f: Control, lr: jnp.ndarray,
+                  n_steps: int, use_line_search: bool = True,
+                  tau: float = 0.5, c_armijo: float = 1e-4,
+                  lr_min: float = 1e-6, max_ls_iters: int = 80,
+                  ode_impl=None, adjoint_rhs_impl=None, matvec_of=None):
+    """``n_steps`` full GD iterations fused into ONE device program
+    (a ``lax.scan`` over the ``gd_step`` body).
+
+    Rationale: at small K the per-iteration device compute is sub-ms but
+    each host-dispatched program pays the tunnel's ~29 ms RTT — the one
+    cell where the reference's serial CPU (0.10 s/iter at K=10,
+    ``plotting/histogram_plotting.py:9-10``) beat the per-program path.
+    Scanning N iterations amortizes the dispatch to RTT/N. The scan body
+    IS ``_gd_step`` — same line search, LR carry, J(old u, new f)
+    recording — so the (J, LR) trajectory matches the host loop exactly;
+    the only behavioral delta is that divergence/conv_crit checks happen
+    on the host every ``n_steps`` instead of every step (the per-step
+    ``diverged`` flags are returned for the caller to inspect).
+
+    Returns ``(f_final, lr_final, GDTrajectory)``.
+    """
+    def body(carry, _):
+        f_, lr_ = carry
+        res = _gd_step(prob, f_, lr_, use_line_search=use_line_search,
+                       tau=tau, c_armijo=c_armijo, lr_min=lr_min,
+                       max_ls_iters=max_ls_iters, ode_impl=ode_impl,
+                       adjoint_rhs_impl=adjoint_rhs_impl,
+                       matvec_of=matvec_of)
+        ys = GDTrajectory(res.J, res.lr, res.div_u, res.inner_iterations,
+                          jnp.sum(res.fwd.mask), res.diverged)
+        return (res.f_new, res.lr), ys
+
+    (f_fin, lr_fin), traj = jax.lax.scan(body, (f, lr), None,
+                                         length=n_steps)
+    return f_fin, lr_fin, traj
