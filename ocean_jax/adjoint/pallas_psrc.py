@@ -32,8 +32,10 @@ structurally: the patch weights are the SAME closed-form P2 basis the
 primal/eval kernels use for interpolation, and the image→dof map is the
 exact transpose of ``grideval.velocity_to_grid``.
 
-Gating: reference escape semantics only (``active_t`` callers stay on the
-XLA reductions). Domain coverage matches the primal Pallas kernel:
+Gating: both escape modes — reference semantics (whole-buoy mask) and the
+consistent-adjoint mode (per-(buoy, time) ``active_t`` window); the caller
+zeroes inactive γ lanes and passes effective positions, so the kernel
+itself is mode-agnostic. Domain coverage matches the primal Pallas kernel:
 uniform square/L-shape plus graded tensor meshes (in-kernel ds-exact
 searchsorted over the shared ``_lines_planes`` table) and hole domains —
 hole interiors need no in-kernel handling because every γ≠0 point lies in

@@ -59,30 +59,29 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
     bit-identical to evaluating at ``where(inside, x, center)`` since
     in-domain lanes reuse the very same (cell, ξ).
 
-    Method "fused" (requires ``grid`` + ``u_values``; reference escape
-    semantics only, i.e. ``active_t`` is None) runs the whole stage —
-    location, basis weights, reduction — as ONE Pallas kernel
-    (``adjoint/pallas_psrc.py``). γ uses the primal ODE's own evaluations:
-    for unmasked buoys every trajectory point is inside (one failed
-    evaluation masks the buoy and overwrites its whole trajectory,
+    Method "fused" (requires ``grid`` + ``u_values``) runs the whole
+    stage — location, basis weights, reduction — as ONE Pallas kernel
+    (``adjoint/pallas_psrc.py``). γ uses the primal ODE's own
+    evaluations: for unmasked buoys every trajectory point is inside (one
+    failed evaluation masks the buoy and overwrites its whole trajectory,
     ``OCP_dolfin.py:209-229``), so u(x_k) IS ``u_values[k]`` — the same
-    values the reference's γ re-evaluation produces at `:362` — and masked
-    lanes are zeroed before they could matter.
+    values the reference's γ re-evaluation produces at `:362` — and
+    inactive lanes are zeroed before they could matter. Consistent-mode
+    callers pass ``active_t`` + the effective positions: escaped buoys'
+    pre-escape slots hold the real u(x_raw[t]) in ``u_values`` and the
+    kfail+1 quirk slot holds u(center) (``ode/primal.py`` post-loop), so
+    the same γ formula reproduces the XLA consistent path exactly.
     """
     K, nt, _ = x.shape
     if method == "fused":
-        if active_t is not None:
-            raise NotImplementedError(
-                "psrc_method='fused' implements reference escape "
-                "semantics only; consistent-adjoint callers use the XLA "
-                "reductions")
         if grid is None or u_values is None:
             raise ValueError(
                 "psrc_method='fused' needs the half-grid tables and the "
                 "primal u_values (system.build_problem wires both)")
         from .pallas_psrc import point_source_image_pallas
         gamma = h * ((u_d - u_values) + mu)
-        gamma = jnp.where(~mask[:, None, None], gamma, 0.0)
+        act = (~mask[:, None] if active_t is None else active_t)
+        gamma = jnp.where(act[..., None], gamma, 0.0)
         b_vel = point_source_image_pallas(grid, x, gamma)
         return jnp.concatenate([b_vel.reshape(-1),
                                 jnp.zeros(space.n_p1)])

@@ -86,7 +86,7 @@ class OCPConfig:
     mg_leaf_budget: int = 0           # >0 overrides system.DENSE_INV_VEL_DOF_BUDGET: max velocity dofs of the multigrid leaf level (the only level holding an explicit dense inverse). Smaller budget = deeper hierarchy + cheaper leaf build (the host-staged inverse build is O(n³) through the remote tunnel — at the default 20k budget a fresh Nx=96 leaf costs hours; budget 6000 forces 96→48→24 and builds in minutes)
     adjoint_mode: str = "reference"   # reference|consistent — consistent keeps escaped buoys' pre-escape adjoint terms
     projector_solver: str = "auto"    # auto|dense|cg — ∇u L2-projection mass solves: factorized-once dense (below 20k P1 dofs) or matrix-free lumped-Jacobi CG (mesh-independent iteration count; the only option at Nx≥192 where the dense P1 mass no longer fits HBM)
-    psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki|ozaki_pallas (exact bf16-MXU slicing; _pallas keeps the one-hot in VMEM)|fused (whole stage — location+basis+reduction — as one Pallas kernel, adjoint/pallas_psrc.py; uniform no-hole grids, reference escape semantics)
+    psrc_method: str = "scatter"      # point-source reduction: scatter|sorted|binned|ozaki|ozaki_pallas (exact bf16-MXU slicing; _pallas keeps the one-hot in VMEM)|fused (whole stage — location+basis+reduction — as one Pallas kernel, adjoint/pallas_psrc.py; every domain class — uniform square/L-shape, graded tensor meshes, hole domains — and both escape modes incl. the consistent-adjoint active_t window)
     ode_backend: str = "gather"       # primal-ODE point eval: gather (index tables) | grid (table-free half-grid stencil) | pallas (fused TPU mega-kernel, f64-equivalent double-single)
     adjoint_reuse_lu: str = "auto"    # auto|on|off — solve the adjoint through the TRANSPOSED Newton LU factors (no second factorization per GD iteration; auto = on iff ν==1, where the adjoint operator is exactly the transposed Jacobian, and the dense path is active)
     # Reuse the accepted Armijo probe's forward state as the next

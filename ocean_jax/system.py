@@ -674,7 +674,8 @@ def _adjoint_rhs_body(prob: OCPProblem, u: jnp.ndarray,
             active_t = active_t & (w_b[:, None] > 0)
         return point_source_rhs(prob.space, u, x_eff, mu, prob.u_d, mask,
                                 prob.h, prob.center,
-                                method=prob.psrc_method, active_t=active_t)
+                                method=prob.psrc_method, active_t=active_t,
+                                grid=prob.grid, u_values=u_values)
     mask_eff = mask if w_b is None else (mask | (w_b == 0))
     if fused_adj:
         from .ode.pallas_adjoint import solve_adjoint_ode_pallas

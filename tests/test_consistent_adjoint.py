@@ -90,3 +90,35 @@ def test_consistent_equals_reference_without_escapes():
     z_con = sys_mod.solve_adjoint(
         dataclasses.replace(prob, adjoint_mode="consistent"), fwd)
     assert np.array_equal(np.asarray(z_ref), np.asarray(z_con))
+
+
+@pytest.mark.slow
+def test_consistent_fused_psrc_matches_scatter():
+    """The fused Pallas point-source kernel now carries the consistent
+    active_t window (round-5): consistent-mode adjoint RHS through
+    psrc_method='fused' equals the XLA scatter reduction, escapes
+    included. The gamma-from-u_values argument holds because escaped
+    buoys' pre-escape u_values slots are the real u(x_raw[t]) and the
+    kfail+1 quirk slot is u(center) (ode/primal.py post-loop)."""
+    rng = np.random.default_rng(3)
+    K = 8
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment=f"{K}_buoys",
+                    T=0.25, dt=0.005, ode_backend="pallas")
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    x0 = np.column_stack([1.2 + 0.7 * rng.random(K),
+                          0.3 + 1.4 * rng.random(K)])
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    f = ctrl_mod.constant(prob.space, prob.bq, [3.0, 0.0])
+    prob_scatter = dataclasses.replace(prob, adjoint_mode="consistent",
+                                       psrc_method="scatter")
+    prob_fused = dataclasses.replace(prob, adjoint_mode="consistent",
+                                     psrc_method="fused")
+    fwd = sys_mod.forward(prob_scatter, f.quad)
+    assert bool(fwd.mask.any())
+    b_ref = sys_mod.adjoint_rhs(prob_scatter, fwd)
+    b_fused = sys_mod.adjoint_rhs(prob_fused, fwd)
+    scale = float(jnp.abs(b_ref).max())
+    d = float(jnp.abs(b_fused - b_ref).max()) / max(scale, 1e-30)
+    # CPU-interpret EFT bound (see tests/test_psrc_fused.py); ~1e-12 on
+    # TPU hardware
+    assert d < 5e-6, d
