@@ -46,8 +46,13 @@ def build_parser(prog: str, defaults: OCPConfig) -> argparse.ArgumentParser:
                    default=defaults.checkpoints)
     p.add_argument("--fast", action="store_true",
                    help="enable TPU fast paths (LU reuse, fused Pallas "
-                        "point-source kernel, explicit-inverse dense "
-                        "applies)")
+                        "point-source kernel, fused Pallas ODE kernels, "
+                        "explicit-inverse dense applies)")
+    p.add_argument("--ode-backend", default=None,
+                   choices=["gather", "grid", "pallas"],
+                   help="primal/adjoint buoy-ODE backend (overrides the "
+                        "--fast bundle; pallas = fused TPU mega-kernels, "
+                        "f64-equivalent double-single)")
     p.add_argument("--psrc-method", default=None,
                    choices=["scatter", "sorted", "binned", "ozaki",
                             "ozaki_pallas", "fused"],
@@ -125,6 +130,12 @@ def config_from_args(args, defaults: OCPConfig) -> OCPConfig:
         # results/bench_stages/psrc_domains_hw.json).
         psrc_method=(args.psrc_method if args.psrc_method is not None
                      else ("fused" if args.fast else "scatter")),
+        # --fast also routes the buoy ODEs through the fused Pallas
+        # mega-kernels (primal + adjoint recursion): trajectories 7e-15,
+        # gradient 4e-9 rel vs the f64 gather backend on hardware
+        ode_backend=(args.ode_backend if args.ode_backend is not None
+                     else ("pallas" if args.fast
+                           else defaults.ode_backend)),
         dense_apply=(args.dense_apply if args.dense_apply is not None
                      else ("inverse" if args.fast
                            else defaults.dense_apply)),

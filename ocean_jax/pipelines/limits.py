@@ -73,6 +73,8 @@ def run(cfg: OCPConfig, write_artifacts: bool = True, verbose: bool = True,
             newton_reuse_lu=True,
             psrc_method=("fused" if cfg.psrc_method == "scatter"
                          else cfg.psrc_method),
+            ode_backend=("pallas" if cfg.ode_backend == "gather"
+                         else cfg.ode_backend),
             dense_apply=("inverse" if cfg.dense_apply == "lu"
                          else cfg.dense_apply))
     u_d, x0 = ensure_ud(cfg)

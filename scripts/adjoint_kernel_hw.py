@@ -1,0 +1,193 @@
+"""Hardware validation of the fused adjoint-ODE Pallas kernel
+(ode/pallas_adjoint.py) — the round-5 ode_xla-bucket fix.
+
+Cells:
+  1. μ parity vs the f64 parallel-scan path on the flagship config
+     (square Nx=32, K=10⁴, real forward state) — the gradient parity bar
+     is 1e-9 rel; the kernel's double-single arithmetic holds ~1e-12.
+  2. End-to-end adjoint-RHS parity (reference mode) and gradient parity
+     through the full adjoint solve.
+  3. Consistent-mode RHS parity with the fused psrc active_t window
+     (round-5 extension) in a real escape regime.
+  4. Domain cells: L-shape, graded pipe, obstacle hole (small K).
+  5. Timing: XLA eval+scan adjoint stage vs the fused kernel at K=10⁴.
+
+Writes results/bench_stages/adjoint_kernel_hw.json.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+OUT = "results/bench_stages"
+
+
+def _sync(x):
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(x)[0])
+    return x
+
+
+def _timeit(fn, *a, reps=3):
+    _sync(fn(*a))
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        _sync(fn(*a))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ocean_jax.config import OCPConfig
+    from ocean_jax import system as sys_mod
+    from ocean_jax.ode import solve_adjoint_ode
+    from ocean_jax.ode.pallas_adjoint import solve_adjoint_ode_pallas
+    from ocean_jax.pipelines.limits import ensure_ud
+
+    out = {"backend": jax.default_backend()}
+
+    # --- flagship config ------------------------------------------------
+    cfg = OCPConfig(ud_experiment="10000_buoys", unit_square_resolution=32,
+                    use_line_search=False, num_steps=1,
+                    psrc_method="fused", ode_backend="pallas",
+                    dense_apply="inverse")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "ud")
+    u_d, x0 = ensure_ud(cfg, cache_dir=cache)
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    prob = dataclasses.replace(prob, newton_reuse_lu=True)
+    f = sys_mod.initial_control(prob, case=4)
+    fwd = _sync(sys_mod.forward(prob, f.quad))
+    u, _ = prob.space.split(fwd.w)
+    grad_u = _sync(prob.projector.project(prob.space, u))
+
+    mu_ref = _sync(solve_adjoint_ode(prob.space, grad_u, fwd.x,
+                                     fwd.u_values, prob.u_d, fwd.mask,
+                                     prob.h))
+    mu_pal = _sync(solve_adjoint_ode_pallas(prob.grid, grad_u, fwd.x,
+                                            fwd.u_values, prob.u_d,
+                                            fwd.mask, prob.h))
+    scale = float(jnp.abs(mu_ref).max())
+    out["mu_parity_K1e4_abs"] = float(jnp.abs(mu_ref - mu_pal).max())
+    out["mu_parity_K1e4_rel"] = out["mu_parity_K1e4_abs"] / max(scale,
+                                                                1e-300)
+    print("mu parity K=1e4:", out["mu_parity_K1e4_rel"], flush=True)
+
+    # end-to-end RHS + gradient parity (reference mode)
+    prob_g = dataclasses.replace(prob, ode_backend="gather",
+                                 psrc_method="ozaki")
+    b_ref = _sync(sys_mod.adjoint_rhs(prob_g, fwd))
+    b_pal = _sync(sys_mod.adjoint_rhs(prob, fwd))
+    out["rhs_parity_rel"] = float(jnp.abs(b_pal - b_ref).max()
+                                  / jnp.abs(b_ref).max())
+
+    z_ref = _sync(sys_mod.solve_adjoint(prob_g, fwd))
+    z_pal = _sync(sys_mod.solve_adjoint(prob, fwd))
+    g_ref = sys_mod.reduced_gradient(prob_g, f, z_ref)
+    g_pal = sys_mod.reduced_gradient(prob, f, z_pal)
+    out["gradient_parity_rel"] = float(
+        jnp.abs(g_pal.quad - g_ref.quad).max()
+        / jnp.abs(g_ref.quad).max())
+    print("rhs/gradient parity:", out["rhs_parity_rel"],
+          out["gradient_parity_rel"], flush=True)
+
+    # --- timing: XLA adjoint stage vs fused kernel ----------------------
+    s_xla = jax.jit(lambda gu: solve_adjoint_ode(
+        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h,
+        grid=prob.grid))          # pallas-eval + f64 scan (round-4 path)
+    s_f64 = jax.jit(lambda gu: solve_adjoint_ode(
+        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+    s_pal = jax.jit(lambda gu: solve_adjoint_ode_pallas(
+        prob.grid, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+    out["timing_seconds"] = {
+        "xla_gather_scan": _timeit(s_f64, grad_u),
+        "pallas_eval_plus_f64_scan_round4": _timeit(s_xla, grad_u),
+        "fused_adjoint_kernel": _timeit(s_pal, grad_u),
+    }
+    print("timing:", out["timing_seconds"], flush=True)
+
+    # --- consistent-mode escape-regime parity ---------------------------
+    rng = np.random.default_rng(3)
+    Ke = 64
+    cfg_e = OCPConfig(unit_square_resolution=8,
+                      ud_experiment=f"{Ke}_buoys", T=0.25, dt=0.005,
+                      ode_backend="pallas")
+    u_de = 0.05 * rng.standard_normal((Ke, cfg_e.num_time_steps, 2))
+    x0e = np.column_stack([1.2 + 0.7 * rng.random(Ke),
+                           0.3 + 1.4 * rng.random(Ke)])
+    prob_e = sys_mod.build_problem(cfg_e, u_d=u_de, x0=x0e)
+    from ocean_jax import control as ctrl_mod
+    f_e = ctrl_mod.constant(prob_e.space, prob_e.bq, [3.0, 0.0])
+    p_sc = dataclasses.replace(prob_e, adjoint_mode="consistent",
+                               psrc_method="scatter",
+                               ode_backend="gather")
+    p_fu = dataclasses.replace(prob_e, adjoint_mode="consistent",
+                               psrc_method="fused")
+    fwd_e = _sync(sys_mod.forward(p_sc, f_e.quad))
+    out["escape_count"] = int(np.asarray(fwd_e.mask).sum())
+    b_sc = _sync(sys_mod.adjoint_rhs(p_sc, fwd_e))
+    b_fu = _sync(sys_mod.adjoint_rhs(p_fu, fwd_e))
+    out["consistent_fused_rhs_rel"] = float(
+        jnp.abs(b_fu - b_sc).max() / jnp.abs(b_sc).max())
+    print("consistent fused rhs:", out["consistent_fused_rhs_rel"],
+          "escapes:", out["escape_count"], flush=True)
+
+    # --- domain cells ----------------------------------------------------
+    from ocean_jax.mesh import structured
+    from ocean_jax.fem.spaces import make_space
+    from ocean_jax.ode.grideval import make_grideval
+    from ocean_jax.ode.adjoint import _adjoint_ode_parallel
+    doms = {}
+    for name, kw in [("graded_pipe", dict(graded=True, obstacle=False,
+                                          lc_min=0.08, lc_max=0.3)),
+                     ("hole_pipe", dict(graded=False, obstacle=True,
+                                        resolution=12)),
+                     ("graded_hole", dict(graded=True, obstacle=True,
+                                          lc_min=0.08, lc_max=0.3))]:
+        mesh, _ = structured.pipe_mesh(**kw)
+        sp = make_space(mesh)
+        ge = make_grideval(sp)
+        rngd = np.random.default_rng(7)
+        K, nt = 256, 200
+        x = rngd.uniform([0.05, 0.05], [1.95, 0.95], (K, nt, 2))
+        if kw.get("obstacle"):
+            x[0, 50:80] = [1.0, 0.5]
+        uv = 0.1 * rngd.standard_normal((K, nt, 2))
+        ud = 0.1 * rngd.standard_normal((K, nt, 2))
+        mask = jnp.zeros(K, bool)
+        gu = jnp.asarray(rngd.standard_normal((sp.n_p1, 2, 2)))
+        mu_r = _sync(_adjoint_ode_parallel(sp, gu, jnp.asarray(x),
+                                           jnp.asarray(uv),
+                                           jnp.asarray(ud), mask, 0.005,
+                                           grid=ge))
+        mu_p = _sync(solve_adjoint_ode_pallas(ge, gu, jnp.asarray(x),
+                                              jnp.asarray(uv),
+                                              jnp.asarray(ud), mask,
+                                              0.005))
+        doms[name] = float(jnp.abs(mu_r - mu_p).max()
+                           / max(float(jnp.abs(mu_r).max()), 1e-300))
+        print(f"domain {name}: {doms[name]:.3e}", flush=True)
+    out["domain_parity_rel"] = doms
+
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "adjoint_kernel_hw.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ def test_cli_roundtrip():
     # fused+inverse is the fastest K=1e4 cell)
     assert cfg.newton_reuse_lu and cfg.psrc_method == "fused"
     assert cfg.dense_apply == "inverse"
+    assert cfg.ode_backend == "pallas"
     assert cfg.alpha_scaled == 400 * 1e-6
 
 
@@ -34,3 +35,4 @@ def test_cli_defaults_preserved():
     assert cfg.ud_experiment == "10_buoys"
     assert not cfg.use_line_search
     assert cfg.psrc_method == "scatter"
+    assert cfg.ode_backend == "gather"
