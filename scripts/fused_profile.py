@@ -67,6 +67,7 @@ def capture_trace(trace_dir: str) -> float:
 # axis: first match on the repo-relative path wins.
 SOURCE_BUCKETS = [
     (r"ode/pallas_ode\.py", "pallas_primal_ode_kernel"),
+    (r"ode/pallas_adjoint\.py", "pallas_adjoint_ode_kernel"),
     (r"ode/pallas_eval\.py", "pallas_adjoint_eval_kernel"),
     (r"ode/grideval\.py", "grideval_tables"),
     (r"ops/linalg\.py", "lu_triangular_solves_refinement"),
