@@ -1122,7 +1122,12 @@ def run_newton_staged(stager: NewtonStager, f_quad, w0, nu: float,
         if sync is not None:
             sync(w)
         flat = flat + 1 if rn > 0.97 * prev else 0
-        if stagnation_break and flat >= stagnation_break:
+        # only bail as FAILED if the thresholds are genuinely unmet — a
+        # slowly-contracting solve that crosses rtol·r0/atol exactly on
+        # the Nth flat step must not be misreported (it would trigger the
+        # caller's cold-ladder retry for nothing; advisor round-4)
+        if (stagnation_break and flat >= stagnation_break
+                and rn > atol and rn > rtol * r0norm):
             return w, it, rn, False
         if (refrozen < max_refreeze and rn > stall_ratio * prev
                 and rn > atol and rn > rtol * r0norm):
