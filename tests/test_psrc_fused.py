@@ -169,6 +169,8 @@ def test_fused_gating():
             jnp.asarray([False]), 1.0, jnp.asarray([1.0, 1.0]))
     with pytest.raises(ValueError):
         point_source_rhs(*args, method="fused")          # missing tables
-    with pytest.raises(NotImplementedError):
-        point_source_rhs(*args, method="fused", grid=grid,
+    # round-5: active_t (consistent-adjoint window) is supported by the
+    # fused kernel — the call must succeed and gate lanes like ~mask
+    b = point_source_rhs(*args, method="fused", grid=grid,
                          u_values=z, active_t=jnp.ones((1, 3), bool))
+    assert bool(jnp.isfinite(b).all())
