@@ -199,7 +199,16 @@ def multi_k_main():
     import jax.numpy as jnp
     from ocean_jax import system as sys_mod
 
-    AMORTIZE = {"10_buoys": 20, "100_buoys": 20, "400_buoys": 10}
+    # Amortize only the cells whose no-line-search GD trajectory stays in
+    # the convergent regime: at K=400 (and K=10⁴) the limits configuration
+    # DIVERGES without line search (J 3.4e3 → 4.3e5, every buoy escapes —
+    # the reference's own 400-buoy run does not descend either), so a
+    # scan that actually iterates the control drives Newton onto
+    # non-convergent states where the while_loop runs to its cap — the
+    # measured 0.65 s/iter is NaN-regime Newton, not solver throughput
+    # (the per-program cells re-time a fixed control and are unaffected).
+    # The K=10/100 trajectories stay clean (scan J == host J exactly).
+    AMORTIZE = {"10_buoys": 20, "100_buoys": 20}
     results = {}
     for k_exp, base in K_BASELINES.items():
         cfg, prob, f, lr = _build(k_exp)

@@ -75,12 +75,14 @@ def main():
     u, _ = prob.space.split(fwd.w)
     grad_u = _sync(prob.projector.project(prob.space, u))
 
-    mu_ref = _sync(solve_adjoint_ode(prob.space, grad_u, fwd.x,
-                                     fwd.u_values, prob.u_d, fwd.mask,
-                                     prob.h))
-    mu_pal = _sync(solve_adjoint_ode_pallas(prob.grid, grad_u, fwd.x,
-                                            fwd.u_values, prob.u_d,
-                                            fwd.mask, prob.h))
+    # jit the parity cells: the eager f64 gather path materializes every
+    # (2e6, 3, 2, 2) intermediate live and ResourceExhausts the chip
+    j_ref = jax.jit(lambda gu: solve_adjoint_ode(
+        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+    j_pal = jax.jit(lambda gu: solve_adjoint_ode_pallas(
+        prob.grid, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+    mu_ref = _sync(j_ref(grad_u))
+    mu_pal = _sync(j_pal(grad_u))
     scale = float(jnp.abs(mu_ref).max())
     out["mu_parity_K1e4_abs"] = float(jnp.abs(mu_ref - mu_pal).max())
     out["mu_parity_K1e4_rel"] = out["mu_parity_K1e4_abs"] / max(scale,
@@ -90,13 +92,15 @@ def main():
     # end-to-end RHS + gradient parity (reference mode)
     prob_g = dataclasses.replace(prob, ode_backend="gather",
                                  psrc_method="ozaki")
-    b_ref = _sync(sys_mod.adjoint_rhs(prob_g, fwd))
-    b_pal = _sync(sys_mod.adjoint_rhs(prob, fwd))
+    rhs_j = jax.jit(sys_mod.adjoint_rhs)
+    b_ref = _sync(rhs_j(prob_g, fwd))
+    b_pal = _sync(rhs_j(prob, fwd))
     out["rhs_parity_rel"] = float(jnp.abs(b_pal - b_ref).max()
                                   / jnp.abs(b_ref).max())
 
-    z_ref = _sync(sys_mod.solve_adjoint(prob_g, fwd))
-    z_pal = _sync(sys_mod.solve_adjoint(prob, fwd))
+    adj_j = jax.jit(sys_mod.solve_adjoint)
+    z_ref = _sync(adj_j(prob_g, fwd))
+    z_pal = _sync(adj_j(prob, fwd))
     g_ref = sys_mod.reduced_gradient(prob_g, f, z_ref)
     g_pal = sys_mod.reduced_gradient(prob, f, z_pal)
     out["gradient_parity_rel"] = float(
