@@ -79,7 +79,23 @@ def point_source_rhs(space: TaylorHoodSpace, u: jnp.ndarray,
                 "psrc_method='fused' needs the half-grid tables and the "
                 "primal u_values (system.build_problem wires both)")
         from .pallas_psrc import point_source_image_pallas
-        gamma = h * ((u_d - u_values) + mu)
+        # Last-step-outside edge case (``OCP_dolfin.py:222-228`` vs
+        # ``:357-360``): a buoy whose FINAL evaluation fails is NOT
+        # masked — the primal stores u_values[nt−1] = 0 and x[nt−1] =
+        # center, and the reference's psrc loop then re-evaluates at the
+        # stored (recentered) point, getting u(center), NOT 0. Lanes
+        # whose stored position equals the center exactly (only the
+        # recenter writes produce that) take u(center); everywhere else
+        # u(x_k) IS u_values[k]. Same evaluation machinery as the
+        # scatter path, so the substitution is exact.
+        cell_c, xi_c, _ = locate_points(space.locator, center[None, :])
+        phi_c = _p2_basis_jnp(xi_c)
+        u_center = jnp.einsum("a,ai->i", phi_c[0],
+                              u[space.cell_dofs_p2[cell_c[0]]])
+        at_center = ((x[..., 0] == center[0])
+                     & (x[..., 1] == center[1]))           # (K, nt)
+        u_eff = jnp.where(at_center[..., None], u_center, u_values)
+        gamma = h * ((u_d - u_eff) + mu)
         act = (~mask[:, None] if active_t is None else active_t)
         gamma = jnp.where(act[..., None], gamma, 0.0)
         b_vel = point_source_image_pallas(grid, x, gamma)

@@ -110,18 +110,27 @@ def main():
           out["gradient_parity_rel"], flush=True)
 
     # --- timing: XLA adjoint stage vs fused kernel ----------------------
+    # scalar-reducing jits: timing the raw μ array transfers 32 MB per
+    # call over the tunnel (~1.2 s), swamping the 13 ms kernel — the sum
+    # forces full compute with an 8-byte readback
     s_xla = jax.jit(lambda gu: solve_adjoint_ode(
         prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h,
-        grid=prob.grid))          # pallas-eval + f64 scan (round-4 path)
+        grid=prob.grid).sum())    # pallas-eval + f64 scan (round-4 path)
     s_f64 = jax.jit(lambda gu: solve_adjoint_ode(
-        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask,
+        prob.h).sum())
     s_pal = jax.jit(lambda gu: solve_adjoint_ode_pallas(
-        prob.grid, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
+        prob.grid, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask,
+        prob.h).sum())
     out["timing_seconds"] = {
         "xla_gather_scan": _timeit(s_f64, grad_u),
         "pallas_eval_plus_f64_scan_round4": _timeit(s_xla, grad_u),
         "fused_adjoint_kernel": _timeit(s_pal, grad_u),
     }
+    out["timing_note"] = ("scalar-readback timings (full compute, 8-byte "
+                          "transfer); the in-program device self-time of "
+                          "the fused kernel is 12.9 ms "
+                          "(fused_profile.json)")
     print("timing:", out["timing_seconds"], flush=True)
 
     # --- consistent-mode escape-regime parity ---------------------------

@@ -174,3 +174,42 @@ def test_fused_gating():
     b = point_source_rhs(*args, method="fused", grid=grid,
                          u_values=z, active_t=jnp.ones((1, 3), bool))
     assert bool(jnp.isfinite(b).all())
+
+
+@pytest.mark.slow
+def test_fused_last_step_outside_unmasked():
+    """A buoy whose FINAL evaluation fails is NOT masked: the primal
+    stores u_values[nt-1]=0 / x[nt-1]=center, and the reference's psrc
+    loop then re-evaluates at the stored center, getting u(center) != 0
+    (OCP_dolfin.py:222-228 vs :357-360). The fused kernel's
+    gamma-from-u_values shortcut missed exactly this case (latent until
+    the round-5 consistent-mode hardware cell caught a 1e-2 deviation);
+    the at-center substitution fixes it in both modes."""
+    import dataclasses
+    from ocean_jax.config import OCPConfig
+    from ocean_jax import system as sys_mod, control as ctrl_mod
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    K = 64
+    cfg = OCPConfig(unit_square_resolution=8, ud_experiment=f"{K}_buoys",
+                    T=0.25, dt=0.005, ode_backend="pallas")
+    u_d = 0.05 * rng.standard_normal((K, cfg.num_time_steps, 2))
+    x0 = np.column_stack([1.2 + 0.7 * rng.random(K),
+                          0.3 + 1.4 * rng.random(K)])
+    prob = sys_mod.build_problem(cfg, u_d=u_d, x0=x0)
+    f = ctrl_mod.constant(prob.space, prob.bq, [3.0, 0.0])
+    p_sc = dataclasses.replace(prob, psrc_method="scatter",
+                               ode_backend="gather")
+    fwd = sys_mod.forward(p_sc, f.quad)
+    # the setup must actually exercise the edge: an UNMASKED buoy parked
+    # at the center in its final slot
+    center_last = ((np.asarray(fwd.x)[:, -1] ==
+                    np.asarray(prob.center)).all(axis=1)
+                   & ~np.asarray(fwd.mask))
+    assert center_last.any(), "setup no longer hits the edge case"
+    b_sc = sys_mod.adjoint_rhs(p_sc, fwd)
+    b_fu = sys_mod.adjoint_rhs(
+        dataclasses.replace(prob, psrc_method="fused"), fwd)
+    d = float(jnp.abs(b_fu - b_sc).max() / jnp.abs(b_sc).max())
+    assert d < 5e-6, d          # CPU-interpret EFT bound; ~1e-14 exact
