@@ -123,45 +123,52 @@ def stages_main():
     fwd = _sync(sys_mod.forward(prob, fq))
     u, _ = prob.space.split(fwd.w)
     grad_u = _sync(prob.projector.project(prob.space, u))
-    mu = _sync(solve_adjoint_ode(prob.space, grad_u, fwd.x, fwd.u_values,
-                                 prob.u_d, fwd.mask, prob.h))
-    b = _sync(point_source_rhs(prob.space, u, fwd.x, mu, prob.u_d,
-                               fwd.mask, prob.h, prob.center,
-                               method=prob.psrc_method))
+    # jit the setup stages: the eager f64 adjoint path materializes every
+    # (K·nt, …) intermediate live at K=10⁴ and ResourceExhausts the chip
+    mu = _sync(jax.jit(solve_adjoint_ode, static_argnames=())(
+        prob.space, grad_u, fwd.x, fwd.u_values, prob.u_d, fwd.mask,
+        prob.h))
+    b = _sync(jax.jit(point_source_rhs, static_argnames=("method",))(
+        prob.space, u, fwd.x, mu, prob.u_d, fwd.mask, prob.h,
+        prob.center, method=prob.psrc_method, grid=prob.grid,
+        u_values=fwd.u_values))
 
-    s_newton = jax.jit(lambda q: sys_mod.solve_ns(prob, q).w)
-    s_ode = jax.jit(lambda uu: solve_primal_ode(
-        prob.space, uu, prob.x0, prob.h, prob.nt, prob.center).x)
-    s_proj = jax.jit(lambda uu: prob.projector.project(prob.space, uu))
-    s_adjode = jax.jit(lambda gu: solve_adjoint_ode(
-        prob.space, gu, fwd.x, fwd.u_values, prob.u_d, fwd.mask, prob.h))
-    s_psrc = jax.jit(lambda m: point_source_rhs(
-        prob.space, u, fwd.x, m, prob.u_d, fwd.mask, prob.h, prob.center,
-        method=prob.psrc_method))
+    # prob travels as a jit ARGUMENT throughout: closed-over problem
+    # pytrees (incl. the 364 MB explicit f32 inverse) become HLO
+    # constants and trip the remote-compile helper's request cap (413)
+    s_newton = jax.jit(lambda p, q: sys_mod.solve_ns(p, q).w)
+    s_ode = jax.jit(lambda p, uu: solve_primal_ode(
+        p.space, uu, p.x0, p.h, p.nt, p.center).x)
+    s_proj = jax.jit(lambda p, uu: p.projector.project(p.space, uu))
+    s_adjode = jax.jit(lambda p, gu: solve_adjoint_ode(
+        p.space, gu, fwd.x, fwd.u_values, p.u_d, fwd.mask, p.h))
+    psrc_method = prob.psrc_method        # plain str — safe to close over
+    s_psrc = jax.jit(lambda p, m: point_source_rhs(
+        p.space, u, fwd.x, m, p.u_d, fwd.mask, p.h, p.center,
+        method=psrc_method, grid=p.grid, u_values=fwd.u_values))
 
-    def adj_solve(bb):
-        op = assemble.adjoint_operator(prob.space, prob.bq, fwd.w,
-                                       prob.bc_dofs)
-        return solve_operator(op, bb, prob.bc_vals,
-                              refine_iters=prob.refine_iters)
+    def adj_solve(p, bb):
+        op = assemble.adjoint_operator(p.space, p.bq, fwd.w, p.bc_dofs)
+        return solve_operator(op, bb, p.bc_vals,
+                              refine_iters=p.refine_iters)
     s_adjsolve = jax.jit(adj_solve)
 
     # micro-probes: the raw batched field evaluations (K·nt = 2e6 points)
     # that dominate the ODE stages — the optimization targets
     from ocean_jax.fem.interpolate import eval_p1_tensor, eval_velocity
     pts = fwd.x.reshape(-1, 2)
-    s_evalp1 = jax.jit(lambda p: eval_p1_tensor(prob.space, grad_u, p)[0])
-    s_evalu = jax.jit(lambda p: eval_velocity(prob.space, u, p)[0])
+    s_evalp1 = jax.jit(lambda p, q: eval_p1_tensor(p.space, grad_u, q)[0])
+    s_evalu = jax.jit(lambda p, q: eval_velocity(p.space, u, q)[0])
 
     stages = {
-        "ns_newton_solve": _timeit(s_newton, fq),
-        "primal_ode_scan": _timeit(s_ode, u),
-        "gradu_projection": _timeit(s_proj, u),
-        "adjoint_ode": _timeit(s_adjode, grad_u),
-        "point_sources": _timeit(s_psrc, mu),
-        "adjoint_assemble_solve": _timeit(s_adjsolve, b),
-        "micro_eval_p1_tensor_2e6pts": _timeit(s_evalp1, pts),
-        "micro_eval_velocity_2e6pts": _timeit(s_evalu, pts),
+        "ns_newton_solve": _timeit(s_newton, prob, fq),
+        "primal_ode_scan": _timeit(s_ode, prob, u),
+        "gradu_projection": _timeit(s_proj, prob, u),
+        "adjoint_ode": _timeit(s_adjode, prob, grad_u),
+        "point_sources": _timeit(s_psrc, prob, mu),
+        "adjoint_assemble_solve": _timeit(s_adjsolve, prob, b),
+        "micro_eval_p1_tensor_2e6pts": _timeit(s_evalp1, prob, pts),
+        "micro_eval_velocity_2e6pts": _timeit(s_evalu, prob, pts),
     }
     full = _timeit(
         lambda q: sys_mod.gd_step(prob, f, lr, use_line_search=False).J, fq)
